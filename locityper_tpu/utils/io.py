@@ -1,0 +1,129 @@
+"""Host-side filesystem helpers: transparent gzip IO, atomic writes,
+success-file checkpointing and rerun modes.
+
+Counterparts in the reference: ext/sys.rs (gz/lz4/plain autodetect, file
+merging), command/mod.rs:132-206 (`Rerun`), :280-282 (`write_success_file`),
+command/paths.rs (on-disk layout).
+"""
+from __future__ import annotations
+
+import enum
+import gzip
+import hashlib
+import io
+import os
+import shutil
+from contextlib import contextmanager
+from pathlib import Path
+
+SUCCESS = "success"
+
+
+def smart_open(path):
+    """Opens a text file for reading; transparently handles .gz (by magic bytes)."""
+    path = Path(path)
+    f = open(path, "rb")
+    magic = f.read(2)
+    f.seek(0)
+    if magic == b"\x1f\x8b":
+        return io.TextIOWrapper(gzip.GzipFile(fileobj=f, mode="rb"))
+    return io.TextIOWrapper(f)
+
+
+def smart_open_bytes(path):
+    path = Path(path)
+    f = open(path, "rb")
+    magic = f.read(2)
+    f.seek(0)
+    if magic == b"\x1f\x8b":
+        return gzip.GzipFile(fileobj=f, mode="rb")
+    return f
+
+
+def smart_create(path, binary: bool = False):
+    """Creates a file for writing; gzip-compresses if the name ends in .gz."""
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    if path.suffix == ".gz":
+        f = gzip.open(path, "wb" if binary else "wt", compresslevel=4)
+    else:
+        f = open(path, "wb" if binary else "w")
+    return f
+
+
+@contextmanager
+def atomic_write(path, binary: bool = False):
+    """Writes to `<path>.tmp` and renames on success (reference pattern at
+    genotype.rs:662-682)."""
+    path = Path(path)
+    tmp = path.with_name(path.name + ".tmp")
+    f = smart_create(tmp, binary=binary)
+    try:
+        yield f
+        f.close()
+        os.replace(tmp, path)
+    except BaseException:
+        f.close()
+        tmp.unlink(missing_ok=True)
+        raise
+
+
+def file_sha(path) -> str:
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest()
+
+
+def write_success(directory) -> None:
+    (Path(directory) / SUCCESS).write_text("")
+
+
+def has_success(directory) -> bool:
+    return (Path(directory) / SUCCESS).exists()
+
+
+class Rerun(enum.Enum):
+    """Rerun modes (reference command/mod.rs:132-206):
+    ALL   — remove the output directory and recompute everything;
+    PART  — keep successfully completed sub-results, recompute the rest;
+    NONE  — only run if nothing was computed before.
+    """
+    ALL = "all"
+    PART = "part"
+    NONE = "none"
+
+    @classmethod
+    def parse(cls, s: str) -> "Rerun":
+        s = s.lower()
+        for v in cls:
+            if v.value.startswith(s):
+                return v
+        raise ValueError(f"Unknown rerun mode {s!r}")
+
+    def prepare_dir(self, directory) -> bool:
+        """Prepares `directory`; returns True if (re)computation is needed."""
+        directory = Path(directory)
+        if not directory.exists():
+            directory.mkdir(parents=True)
+            return True
+        done = has_success(directory)
+        if self is Rerun.NONE and done:
+            return False
+        if self is Rerun.PART and done:
+            return False
+        if self is Rerun.ALL or not done:
+            shutil.rmtree(directory)
+            directory.mkdir(parents=True)
+            return True
+        return True
+
+
+def merge_files(first, rest) -> None:
+    """Appends `rest` files to `first` and removes them (ext/sys.rs:246)."""
+    with open(first, "ab") as out:
+        for path in rest:
+            with open(path, "rb") as f:
+                shutil.copyfileobj(f, out)
+            os.unlink(path)
