@@ -113,6 +113,53 @@ def minimizers(seq, k: int, w: int):
     return pos, vals, is_fw[pos]
 
 
+UNDEF32 = np.uint32(0xFFFFFFFF)
+_MURMUR3_MULT = np.uint32(0x85EBCA6B)
+
+
+def murmur3_mix32(x: np.ndarray) -> np.ndarray:
+    """32-bit murmur3-style mix (kmers.rs:77-91).  Used for the recruitment
+    minimizer space: with k ≤ 16 the canonical k-mer fits in 32 bits, which
+    keeps the whole recruitment index in native int32 on device (TPU has no
+    64-bit integer units; SURVEY.md §7 'device hash tables')."""
+    x = (~x.astype(np.uint32))
+    x ^= x >> np.uint32(16)
+    with np.errstate(over="ignore"):
+        x = x * _MURMUR3_MULT
+    x ^= x >> np.uint32(13)
+    return x
+
+
+def minimizers32(seq, k: int, w: int):
+    """Like `minimizers` but in the 32-bit hash space (k ≤ 16).  Both the
+    recruitment index build and the read scan use this function (host) or its
+    device twin (ops/recruit.py), so matching is self-consistent."""
+    assert k <= 16
+    codes = seq if isinstance(seq, np.ndarray) else encode(seq)
+    fw, rv, valid = _rolling_kmers_codes(codes, k)
+    is_fw = fw <= rv
+    kmer = np.where(is_fw, fw, rv).astype(np.uint32)
+    h = murmur3_mix32(kmer)
+    h = np.where(valid, h, UNDEF32)
+    m = h.size
+    if m < w:
+        e = np.empty(0, dtype=np.int64)
+        return e, np.empty(0, dtype=np.uint32), np.empty(0, dtype=bool)
+    windows = np.lib.stride_tricks.sliding_window_view(h, w)
+    arg = np.argmin(windows, axis=1)
+    vals = windows[np.arange(windows.shape[0]), arg]
+    pos = arg + np.arange(windows.shape[0])
+    keep = vals != UNDEF32
+    pos, vals = pos[keep], vals[keep]
+    if pos.size == 0:
+        return pos.astype(np.int64), vals, np.empty(0, dtype=bool)
+    first = np.ones(pos.size, dtype=bool)
+    first[1:] = pos[1:] != pos[:-1]
+    pos = pos[first].astype(np.int64)
+    vals = vals[first]
+    return pos, vals, is_fw[pos]
+
+
 def sorted_minimizer_set(seq, k: int, w: int) -> np.ndarray:
     """Sorted unique minimizer hashes (for Jaccard divergence, div.rs:16-40)."""
     _, vals, _ = minimizers(seq, k, w)

@@ -1,0 +1,177 @@
+"""Recruitment engine: index build + matching rules on simulated loci."""
+import numpy as np
+import pytest
+
+from locityper_tpu.seq import dna
+from locityper_tpu.seq.contigs import ContigSet
+from locityper_tpu.seq.counts import GenomeKmerCounter, KmerCounts, off_target_counts
+from locityper_tpu.seq.recruit import (
+    RecruitParams, TargetIndex, recruit_any, recruit_long_read,
+    recruit_read_pair, recruit_short_read,
+)
+from locityper_tpu import sim
+
+
+def build_world(seed=0, locus_len=4000, genome_len=60000, n_haps=4, divergence=0.02):
+    """Genome with an embedded locus + haplotype panel + off-target counts."""
+    rng = np.random.default_rng(seed)
+    genome = sim.random_genome(rng, genome_len)
+    locus_start = genome_len // 2
+    locus = sim.simulate_locus(rng, length=locus_len, n_haps=n_haps,
+                               divergence=divergence)
+    # Embed haplotype 0 into the genome so locus k-mers exist there once.
+    genome = genome.copy()
+    ref_hap = locus.haplotypes[0]
+    genome[locus_start:locus_start + ref_hap.size] = ref_hap[:genome_len - locus_start]
+
+    counter = GenomeKmerCounter(25)
+    counter.add_seq(genome)
+    counter.finalize()
+    target_seq = genome[locus_start:locus_start + ref_hap.size]
+    kc = off_target_counts(counter, locus.haplotypes, target_seq)
+    cset = ContigSet("locus", locus.hap_names, locus.haplotypes)
+    return rng, genome, locus, cset, kc, locus_start
+
+
+@pytest.fixture(scope="module")
+def world():
+    return build_world()
+
+
+@pytest.fixture(scope="module")
+def index(world):
+    _, _, locus, cset, kc, _ = world
+    idx = TargetIndex(RecruitParams(match_frac=0.5))
+    idx.add_locus(cset, kc)
+    idx.finalize()
+    return idx
+
+
+class TestOffTargetCounts:
+    def test_locus_kmers_mostly_unique(self, world):
+        _, _, locus, _, kc, _ = world
+        # Haplotype 0 is embedded in the genome exactly once -> off-target
+        # counts for its k-mers should be 0 (unique to the locus).
+        frac_unique = float(np.mean(kc.counts[0] == 0))
+        assert frac_unique > 0.95
+
+    def test_background_kmers_not_unique(self, world):
+        rng, genome, locus, _, kc, locus_start = world
+        counter = GenomeKmerCounter(25)
+        counter.add_seq(genome)
+        counter.finalize()
+        bg = genome[1000:2000]
+        c = counter.seq_counts(bg)
+        assert float(np.mean(c >= 1)) > 0.99
+
+
+class TestIndex:
+    def test_built(self, index):
+        assert index.keys.size > 100
+        assert index.n_loci == 1
+        assert index.entry_locus.size == index.offsets[-1]
+        # Entries sorted by key.
+        assert (np.diff(index.keys.astype(np.int64)) > 0).all()
+
+    def test_lookup_roundtrip(self, index):
+        found, start, end = index.lookup(index.keys[:50])
+        assert found.all()
+        assert (end > start).all()
+        missing = np.array([12345], np.uint32)
+        if missing[0] not in index.keys:
+            f, _, _ = index.lookup(missing)
+            assert not f[0]
+
+
+class TestShortReadRecruitment:
+    def test_locus_reads_recruited(self, world, index):
+        rng, _, locus, _, _, _ = world
+        reads = sim.simulate_paired_reads(
+            rng, [locus.haplotypes[i] for i in locus.true_genotype], depth=4)
+        hits = sum(bool(recruit_short_read(index, r)) for r in reads.reads1[:100])
+        assert hits / min(len(reads.reads1), 100) > 0.95
+
+    def test_background_reads_rejected(self, world, index):
+        rng, genome, _, _, _, locus_start = world
+        # Reads from far outside the locus.
+        bg_reads = []
+        for _ in range(100):
+            s = int(rng.integers(0, 20000))
+            bg_reads.append(genome[s:s + 150])
+        hits = sum(bool(recruit_short_read(index, r)) for r in bg_reads)
+        assert hits <= 2
+
+    def test_pairs_recruited(self, world, index):
+        rng, _, locus, _, _, _ = world
+        reads = sim.simulate_paired_reads(
+            rng, [locus.haplotypes[i] for i in locus.true_genotype], depth=4)
+        n = min(len(reads.reads1), 80)
+        hits = sum(bool(recruit_read_pair(index, r1, r2))
+                   for r1, r2 in zip(reads.reads1[:n], reads.reads2[:n]))
+        assert hits / n > 0.95
+
+    def test_mixed_pair_rejected(self, world, index):
+        # One locus mate + one background mate: pair rule requires both.
+        rng, genome, locus, _, _, _ = world
+        hap = locus.haplotypes[0]
+        r1 = hap[100:250]
+        r2 = dna.revcomp(genome[5000:5150])
+        assert recruit_read_pair(index, r1, r2) == []
+
+
+class TestLongReadRecruitment:
+    def test_long_locus_reads_recruited(self, world):
+        rng, _, locus, cset, kc, _ = world
+        idx = TargetIndex(RecruitParams(match_frac=0.5, match_length=2000))
+        idx.add_locus(cset, kc)
+        idx.finalize()
+        reads = sim.simulate_single_reads(
+            rng, [locus.haplotypes[i] for i in locus.true_genotype],
+            depth=2, read_len_mean=3000, read_len_sd=500)
+        n = min(len(reads.reads1), 20)
+        hits = sum(bool(recruit_long_read(idx, r)) for r in reads.reads1[:n])
+        assert hits / n > 0.9
+
+    def test_long_background_rejected(self, world):
+        rng, genome, locus, cset, kc, _ = world
+        idx = TargetIndex(RecruitParams(match_frac=0.5, match_length=2000))
+        idx.add_locus(cset, kc)
+        idx.finalize()
+        hits = 0
+        for _ in range(20):
+            s = int(rng.integers(0, 15000))
+            if recruit_long_read(idx, genome[s:s + 5000]):
+                hits += 1
+        assert hits == 0
+
+
+class TestDispatch:
+    def test_recruit_any(self, world, index):
+        rng, _, locus, _, _, _ = world
+        hap = locus.haplotypes[0]
+        assert recruit_any(index, hap[0:150], None) == [0]       # short single
+        long_read = hap[0:3000]
+        assert recruit_any(index, long_read, None) == [0]        # long single
+
+
+class TestMultiLocus:
+    def test_two_loci_distinguished(self):
+        rng = np.random.default_rng(11)
+        genome = sim.random_genome(rng, 40000)
+        locusA = sim.simulate_locus(rng, "A", length=3000, n_haps=3)
+        locusB = sim.simulate_locus(rng, "B", length=3000, n_haps=3)
+        counter = GenomeKmerCounter(25)
+        counter.add_seq(genome)
+        counter.finalize()
+        idx = TargetIndex(RecruitParams(match_frac=0.5))
+        for locus in (locusA, locusB):
+            kc = off_target_counts(counter, locus.haplotypes,
+                                   np.empty(0, dtype=np.int8))
+            cset = ContigSet(locus.name, locus.hap_names, locus.haplotypes)
+            idx.add_locus(cset, kc)
+        idx.finalize()
+        assert idx.n_loci == 2
+        a_read = locusA.haplotypes[0][500:650]
+        b_read = locusB.haplotypes[1][500:650]
+        assert recruit_short_read(idx, a_read) == [0]
+        assert recruit_short_read(idx, b_read) == [1]
