@@ -25,10 +25,11 @@ def to_log10(ln):
 
 
 def ln_add(a: float, b: float) -> float:
-    """log(exp(a) + exp(b)) (math/mod.rs:29-35)."""
+    """log(exp(a) + exp(b)) (math/mod.rs:29-35), anchored at the larger value
+    so the exp argument is always <= 0 (no overflow)."""
     if a >= b:
-        return a if b == -np.inf else b + log1p(np.exp(a - b))
-    return b if a == -np.inf else a + log1p(np.exp(b - a))
+        return a if b == -np.inf else a + log1p(np.exp(b - a))
+    return b if a == -np.inf else b + log1p(np.exp(a - b))
 
 
 def ln_sum(values) -> float:

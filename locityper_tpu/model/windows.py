@@ -1,0 +1,146 @@
+"""Per-haplotype window characteristics as dense position arrays.
+
+Counterpart of reference model/windows.rs (ContigInfo :343-424,
+WeightCalculator :153-190, GenotypeWindows :710-806), restructured so that
+everything the solver needs is a flat array gatherable on device:
+
+* `gc_at[p]`    — GC bin (0..=100) of the neighbourhood whose window starts
+  at position p (already shifted by the left padding, windows.rs:439-445);
+* `weight_at[p]`— window weight = kmer-sigmoid × complexity-sigmoid
+  (explicit BED weights multiply in when provided);
+* the regular window grid (n_windows, reg_start, window_size) per contig.
+
+Random window tweaks (assgn.rs:127-151, windows.rs:478-486) then become
+device-side index arithmetic: a tweaked window start indexes `gc_at` /
+`weight_at` directly.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..seq import dna
+from ..seq.compl import linguistic_complexity
+from ..seq.contigs import ContigSet
+from ..seq.counts import KmerCounts
+from . import Params
+
+UNMAPPED_WINDOW = 0
+BOUNDARY_WINDOW = 1
+REG_WINDOW_SHIFT = 2
+
+
+def weight_calc(x: np.ndarray, breakpoint: float, power: float) -> np.ndarray:
+    """Sigmoid weight: 1 / (1 + cf·((1−x)/x)^power), weight(bp) = 1/2
+    (windows.rs:162-190)."""
+    cf = (breakpoint / (1.0 - breakpoint)) ** power
+    x = np.clip(np.asarray(x, dtype=np.float64), 1e-12, 1.0)
+    ratio = np.clip((1.0 - x) / x, 0.0, None)
+    return 1.0 / (1.0 + cf * np.power(ratio, power))
+
+
+@dataclass
+class ContigInfo:
+    contig_len: int
+    n_windows: int
+    reg_start: int
+    window_size: int
+    neighb_size: int
+    left_padding: int
+    gc_at: np.ndarray          # uint8 [contig_len], indexed by window start
+    weight_at: np.ndarray      # f32   [contig_len]
+
+    @classmethod
+    def new(cls, seq: np.ndarray, kmer_counts: np.ndarray, kmer_k: int,
+            window_size: int, neighb_size: int, params: Params) -> "ContigInfo":
+        contig_len = seq.size
+        assert contig_len >= window_size + 2 * params.boundary_size, \
+            f"Contig too short ({contig_len})"
+        n_windows = (contig_len - 2 * params.boundary_size) // window_size
+        sum_len = n_windows * window_size
+        reg_start = (contig_len - sum_len) // 2
+        left_padding = (neighb_size - window_size) // 2
+
+        n_pos = contig_len - neighb_size + 1
+        # GC% over every neighbourhood (windows.rs:387-391).
+        is_gc = ((seq == 1) | (seq == 2)).astype(np.int64)
+        cum = np.concatenate([[0], np.cumsum(is_gc)])
+        gc = np.round(100.0 * (cum[neighb_size:] - cum[:-neighb_size]) / neighb_size)
+        gc = gc.astype(np.uint8)
+
+        # Unique k-mer fraction (count == 0) per neighbourhood (:393-403).
+        span = neighb_size + 1 - kmer_k
+        isu = (kmer_counts == 0).astype(np.int64)
+        cumu = np.concatenate([[0], np.cumsum(isu)])
+        nk = min(span, cumu.size - 1)
+        uniq = (cumu[nk:nk + n_pos] - cumu[:n_pos]) / span
+
+        # Linguistic complexity (:404-407).
+        compl = linguistic_complexity(seq, params.complexity_k, neighb_size)
+        compl = compl[:n_pos] if compl.size >= n_pos else np.pad(
+            compl, (0, n_pos - compl.size), constant_values=np.nan)
+
+        w = (weight_calc(uniq, params.kmers_weight_breakpoint,
+                         params.kmers_weight_power)
+             * weight_calc(np.nan_to_num(compl, nan=1.0),
+                           params.compl_weight_breakpoint,
+                           params.compl_weight_power))
+
+        # Expand to per-window-start indexing: neighb_info(start) reads
+        # mov_info[max(start - left_padding, 0)] (windows.rs:439-445).
+        idx = np.clip(np.arange(contig_len) - left_padding, 0, n_pos - 1)
+        return cls(contig_len, int(n_windows), int(reg_start), window_size,
+                   neighb_size, left_padding,
+                   gc_at=gc[idx], weight_at=w[idx].astype(np.float32))
+
+    def default_window_starts(self) -> np.ndarray:
+        return self.reg_start + self.window_size * np.arange(self.n_windows)
+
+    def window_of_middle(self, middles: np.ndarray) -> np.ndarray:
+        """Static-grid window index per middle, BOUNDARY if outside, UNMAPPED
+        for middle < 0 (windows.rs:465-470; shift added by the caller)."""
+        middles = np.asarray(middles)
+        w = (middles - self.reg_start) // self.window_size
+        inside = (middles >= self.reg_start) & (w >= 0) & (w < self.n_windows)
+        out = np.where(inside, w + REG_WINDOW_SHIFT, BOUNDARY_WINDOW)
+        return np.where(middles < 0, UNMAPPED_WINDOW, out)
+
+
+def build_contig_infos(contig_set: ContigSet, kmer_counts: KmerCounts,
+                       window_size: int, neighb_size: int,
+                       params: Params) -> list[ContigInfo]:
+    return [ContigInfo.new(seq, counts, kmer_counts.k, window_size, neighb_size, params)
+            for seq, counts in zip(contig_set.seqs, kmer_counts.counts)]
+
+
+@dataclass
+class ContigInfoPack:
+    """Dense [H, ...] stacking of per-contig arrays for device gathers."""
+    n_haps: int
+    max_len: int
+    max_windows: int
+    n_windows: np.ndarray      # [H] int32
+    reg_start: np.ndarray      # [H] int32
+    contig_len: np.ndarray     # [H] int32
+    window_size: int
+    gc_at: np.ndarray          # [H, max_len] int32
+    weight_at: np.ndarray      # [H, max_len] f32
+
+    @classmethod
+    def pack(cls, infos: list[ContigInfo]) -> "ContigInfoPack":
+        H = len(infos)
+        max_len = max(ci.contig_len for ci in infos)
+        gc = np.zeros((H, max_len), np.int32)
+        wt = np.zeros((H, max_len), np.float32)
+        for h, ci in enumerate(infos):
+            gc[h, :ci.contig_len] = ci.gc_at
+            wt[h, :ci.contig_len] = ci.weight_at
+        return cls(
+            n_haps=H, max_len=max_len,
+            max_windows=max(ci.n_windows for ci in infos),
+            n_windows=np.array([ci.n_windows for ci in infos], np.int32),
+            reg_start=np.array([ci.reg_start for ci in infos], np.int32),
+            contig_len=np.array([ci.contig_len for ci in infos], np.int32),
+            window_size=infos[0].window_size,
+            gc_at=gc, weight_at=wt)

@@ -1,0 +1,190 @@
+"""High-level per-locus genotyping pipeline: recruit → align → solve.
+
+This is the engine behind `commands/genotype.py` (counterpart of
+command/genotype.rs analyze_locus :1110-1207), shared with tests and bench.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from .bg import BgDistr
+from .bg.err_prof import EditDistCache, EditThresh
+from .model import Params
+from .model.assgn import LocusTensors
+from .model.locs import build_all_alignments
+from .model.windows import ContigInfoPack, build_contig_infos
+from .seq.contigs import ContigSet, Genotype
+from .seq.counts import KmerCounts
+from .solvers.solve import Genotyping, Scheme, solve_locus
+from .utils.logging import get_logger
+
+logger = get_logger("pipeline")
+
+
+@dataclass
+class LocusData:
+    contig_set: ContigSet
+    kmer_counts: KmerCounts
+    dist_matrix: np.ndarray | None = None
+
+
+def genotype_locus(locus: LocusData, read_pairs, names, bg: BgDistr,
+                   params: Params | None = None, scheme: Scheme | None = None,
+                   seed: int = 1, ploidy: int = 2, tag: str | None = None,
+                   priors: dict | None = None) -> tuple[Genotyping, dict]:
+    """Genotypes one locus from recruited reads.
+
+    read_pairs: list of (codes1, codes2 | None).
+    Returns (Genotyping, stats).
+    """
+    import jax
+
+    params = params or Params()
+    tag = tag or locus.contig_set.tag
+    window_size = bg.depth.window_size
+    neighb_size = bg.depth.neighb_size
+    params.set_tweak_size(window_size)
+
+    tech = bg.seq_info.technology
+    edit_cache = EditDistCache(bg.err_prof, EditThresh.default_for(tech))
+    all_alns, stats = build_all_alignments(
+        read_pairs, names, locus.contig_set, locus.kmer_counts, bg,
+        edit_cache, params)
+    logger.info("    [%s] %d/%d reads usable (%d poorly mapped, %d out of "
+                "bounds, %d low weight)", tag, len(all_alns.reads),
+                stats["total"], stats["poorly_mapped"], stats["out_of_bounds"],
+                stats["few_kmers"])
+    if not all_alns.reads:
+        return Genotyping(tag=tag, genotypes=[], ln_probs=np.empty(0),
+                          predictions=[], quality=0.0, total_reads=0,
+                          warnings=["NoReads"]), stats
+
+    infos = build_contig_infos(locus.contig_set, locus.kmer_counts,
+                               window_size, neighb_size, params)
+    pack = ContigInfoPack.pack(infos)
+    tensors = LocusTensors.build(all_alns)
+
+    n_haps = len(locus.contig_set.seqs)
+    gts = Genotype.generate_all(n_haps, ploidy)
+    genotypes = np.array([g.ids for g in gts], np.int32)
+    prior_vec = np.zeros(len(gts))
+    if priors:
+        for i, g in enumerate(gts):
+            prior_vec[i] = priors.get(g.ids, 0.0)
+
+    scheme = scheme or Scheme.default()
+    key = jax.random.PRNGKey(seed)
+    result = solve_locus(tensors, pack, bg, genotypes, prior_vec, params,
+                         scheme, key, tag=tag, dist_matrix=locus.dist_matrix)
+    # Unexplained reads (solve.rs:706-716).
+    best_gt = result.genotypes[0]
+    best_per_read = np.maximum(
+        tensors.hap_prob[best_gt[0]].max(axis=1),
+        tensors.hap_prob[best_gt[1]].max(axis=1))
+    result.unexpl_reads = int(np.sum(best_per_read <
+                                     tensors.unmapped_prob + 1e-8))
+    if result.ln_probs.size and (np.isnan(result.ln_probs[0])
+                                 or result.ln_probs[0] < -2.0 * np.log(10.0)):
+        result.warnings.append("NoProbableGenotype")
+    return result, stats
+
+
+def estimate_bg_from_sim(reads1, reads2, region_seq, region_counter,
+                         technology, window_size=None,
+                         depth_params=None, seed=0) -> BgDistr:
+    """Estimates all background distributions by aligning reads to a single
+    background region (counterpart of preproc estimate_bg_distrs,
+    command/preproc.rs:1076-1165)."""
+    from .bg import SequencingInfo
+    from .bg.depth import ReadDepth, ReadDepthParams, auto_window_size
+    from .bg.insertsz import InsertDistr
+    from .bg.err_prof import ErrorProfile
+    from .bg.windows import BgWindows
+    from .model.locs import HapMinimizerIndex, _align_candidates, _dedup_mate_alns
+    from .ops import align as A
+    from .seq.contigs import ContigSet
+
+    depth_params = depth_params or ReadDepthParams()
+    mean_len = float(np.mean([r.size for r in reads1])) if reads1 else 150.0
+    wsize, neighb = auto_window_size(mean_len) if window_size is None \
+        else (window_size, max(window_size, 300))
+    seq_info = SequencingInfo(mean_len, technology, total_reads=len(reads1))
+
+    cset = ContigSet("bg", ["bg"], [region_seq])
+    hap_index = HapMinimizerIndex(cset, 15, 10)
+    # Preliminary error scores (refined after alignment).
+    prelim = A.Scores.from_error_rates(0.005, 0.001, 0.001)
+    score_vec = np.array(prelim.astuple(), np.float32)
+
+    mates, mate_read, mate_end = [], [], []
+    for i, r1 in enumerate(reads1):
+        mates.append(r1)
+        mate_read.append(i)
+        mate_end.append(0)
+        if reads2:
+            mates.append(reads2[i])
+            mate_read.append(i)
+            mate_end.append(1)
+    cands = [hap_index.candidates(m, 10, 48, 2, 2) for m in mates]
+    aln_lists = _align_candidates(mates, cands, cset, score_vec, 48)
+
+    # Pick the best alignment per mate.
+    best = [max(a, key=lambda x: x.ln_prob) if a else None for a in aln_lists]
+    rlens = np.array([m.size for m in mates])
+
+    # Error profile from exact op counts of the best alignments
+    # (bg/err_prof.rs:152-199).
+    n_match = n_mism = n_ins = n_del = 0
+    triples = {}
+    ends_ix = list(mate_end)
+    for b, L in zip(best, rlens):
+        if b is None:
+            continue
+        matches = int(L) - b.n_mism - b.n_ins - b.n_clip
+        n_match += matches
+        n_mism += b.n_mism
+        n_ins += b.n_ins
+        n_del += b.n_del
+        key = (b.edit, int(L))
+        triples[key] = triples.get(key, 0) + 1
+    err_prof = ErrorProfile.estimate(
+        max(n_match, 1), max(n_mism, 1), max(n_ins, 1), max(n_del, 1),
+        [(e, n, float(c)) for (e, n), c in triples.items()])
+
+    # Insert sizes from best mate alignments.
+    insert_distr = InsertDistr.undefined()
+    if reads2:
+        sizes = []
+        same_o = opp_o = 0
+        for i in range(len(reads1)):
+            b1, b2 = best[2 * i], best[2 * i + 1]
+            if b1 is None or b2 is None:
+                continue
+            sizes.append(max(b1.end, b2.end) - min(b1.start, b2.start))
+            if b1.fwd == b2.fwd:
+                same_o += 1
+            else:
+                opp_o += 1
+        insert_distr = InsertDistr.estimate(np.array(sizes), same_o, opp_o)
+
+    # Window depth.
+    win = BgWindows.create(region_seq, 0, region_counter.seq_counts(region_seq),
+                           region_counter.k, wsize, neighb,
+                           depth_params.boundary_size,
+                           0.01 * depth_params.uniq_kmer_perc)
+    middles = []
+    for b, me in zip(best, ends_ix):
+        if b is not None and me == 0:
+            middles.append((b.start + b.end) // 2)
+    middles = np.array(middles, np.int64)
+    w = (middles - win.region_start) // wsize
+    ok = (middles >= win.region_start) & (w >= 0) & (w < len(win))
+    depth_counts = np.zeros(len(win), np.int64)
+    np.add.at(depth_counts, w[ok], 1)
+    keep = win.keep
+    depth = ReadDepth.estimate(depth_counts[keep], win.gc[keep], wsize, neighb,
+                               depth_params,
+                               has_gc_bias=technology.has_gc_bias)
+    return BgDistr(seq_info, insert_distr, err_prof, depth)

@@ -22,27 +22,30 @@ def random_genome(rng: np.random.Generator, length: int) -> np.ndarray:
 
 def mutate(rng: np.random.Generator, seq: np.ndarray, snp_rate: float = 0.01,
            indel_rate: float = 0.001, max_indel: int = 8) -> np.ndarray:
-    """Derives a haplotype by applying random SNVs and short indels."""
-    out = []
-    i = 0
+    """Derives a haplotype by applying random SNVs (density `snp_rate` per
+    base) and short indels (density `indel_rate` per base)."""
     n = seq.size
-    while i < n:
-        r = rng.random()
-        if r < indel_rate:
-            length = int(rng.integers(1, max_indel + 1))
-            if rng.random() < 0.5:   # deletion
-                i += length
-            else:                     # insertion
-                out.append(rng.integers(0, 4, size=length, dtype=np.int8))
-        elif r < indel_rate + snp_rate:
-            base = seq[i]
-            out.append(np.array([(base + rng.integers(1, 4)) % 4], dtype=np.int8))
-            i += 1
-        else:
-            j = min(i + int(rng.geometric(indel_rate + snp_rate)), n)
-            out.append(seq[i:j])
-            i = j
-    return np.concatenate(out) if out else np.empty(0, dtype=np.int8)
+    r = rng.random(n)
+    # SNVs.
+    snp = r < snp_rate
+    out = np.where(snp, (seq + rng.integers(1, 4, n)) % 4, seq).astype(np.int8)
+    # Indels: splice at event positions.
+    pos = np.nonzero((r >= snp_rate) & (r < snp_rate + indel_rate))[0]
+    if pos.size == 0:
+        return out
+    parts = []
+    prev = 0
+    for p in pos:
+        length = int(rng.integers(1, max_indel + 1))
+        if rng.random() < 0.5:   # deletion of `length` bases at p
+            parts.append(out[prev:p])
+            prev = min(p + length, n)
+        else:                     # insertion of `length` random bases at p
+            parts.append(out[prev:p])
+            parts.append(rng.integers(0, 4, size=length, dtype=np.int8))
+            prev = p
+    parts.append(out[prev:])
+    return np.concatenate(parts)
 
 
 @dataclass

@@ -1,0 +1,328 @@
+"""Multi-stage genotype solving and ranking.
+
+Counterpart of reference solvers/solve.rs: a pre-filter on pure alignment
+likelihood (:87-122), a pipeline of solver stages over shrinking genotype
+sets (:150-251), genotype culling by one-sided Welch t-tests (:318-470), and
+final ranking with pairwise probabilities, Phred quality and weighted
+genotype distances (:472-767).
+
+Work placement differs from the reference by design: each stage launches ONE
+device program evaluating (genotypes × attempts) annealing chains in
+parallel (ops/solver.py) instead of sharding genotypes over CPU threads.
+"""
+from __future__ import annotations
+
+import re
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .. import mathx
+from ..model import Params
+from ..model.assgn import LocusTensors
+from ..model.windows import ContigInfoPack
+from ..ops.solver import SolverConfig, build_bayes_table, solve_genotypes
+from ..utils.logging import get_logger
+
+logger = get_logger("solve")
+
+_SIZE_SUFFIX = {"k": 1000, "m": 1000000}
+
+
+def _parse_size(s: str) -> int:
+    m = re.fullmatch(r"(\d+(?:\.\d+)?)([kKmM]?)", s)
+    if not m:
+        raise ValueError(f"Cannot parse size {s!r}")
+    v = float(m.group(1)) * _SIZE_SUFFIX.get(m.group(2).lower(), 1)
+    return int(v)
+
+
+@dataclass
+class Stage:
+    """One solver stage (solve.rs:138-203): SOLVER[:param=value,...]."""
+    kind: str                    # "greedy" | "anneal"
+    in_size: int = 1000
+    attempts: int = 20
+    anneal_steps: int = 20000
+    polish_steps: int = 10000
+
+    @classmethod
+    def parse(cls, s: str) -> "Stage":
+        name, _, rest = s.partition(":")
+        name = name.strip().lower()
+        if name in ("anneal", "simanneal", "annealing", "simannealing"):
+            st = cls(kind="anneal")
+        elif name == "greedy":
+            st = cls(kind="greedy", anneal_steps=0, polish_steps=8000, attempts=1)
+        else:
+            raise ValueError(f"Unknown solver {name!r}")
+        if rest:
+            for kv in rest.split(","):
+                k, _, v = kv.partition("=")
+                k = k.strip()
+                if k in ("i", "input", "in-size"):
+                    st.in_size = _parse_size(v)
+                elif k in ("a", "attempts"):
+                    st.attempts = int(v)
+                elif k in ("n", "steps"):
+                    st.anneal_steps = _parse_size(v)
+                elif k in ("p", "plato"):
+                    st.polish_steps = _parse_size(v)
+                else:
+                    logger.warning("Unknown stage parameter %r", k)
+        return st
+
+
+@dataclass
+class Scheme:
+    stages: list
+
+    @classmethod
+    def default(cls) -> "Scheme":
+        """greedy:i=5k,a=1 → anneal:i=20,a=20 (solve.rs:211-229)."""
+        return cls([Stage(kind="greedy", in_size=5000, attempts=1,
+                          anneal_steps=0, polish_steps=8000),
+                    Stage(kind="anneal", in_size=20, attempts=20)])
+
+    @classmethod
+    def parse(cls, specs: list[str]) -> "Scheme":
+        if not specs:
+            return cls.default()
+        return cls([Stage.parse(s) for s in specs])
+
+
+@dataclass
+class Prediction:
+    lik_mean: float
+    lik_var: float
+    attempts: int
+    assignments: np.ndarray | None = None
+
+
+def compare_two_likelihoods(p1: Prediction, p2: Prediction) -> float:
+    """ln P(gt1 is better), max of simple normalization and t-test p-value
+    (solve.rs:318-335)."""
+    simple_norm = p1.lik_mean - mathx.ln_add(p1.lik_mean, p2.lik_mean)
+    if (np.isfinite(p1.lik_var) and np.isfinite(p2.lik_var)
+            and p1.lik_var > 0 and p2.lik_var > 0):
+        if p1.attempts == p2.attempts:
+            pval = mathx.unpaired_onesided_t_test(
+                p1.lik_mean, p1.lik_var, p2.lik_mean, p2.lik_var,
+                float(p1.attempts))
+        else:
+            pval = mathx.unpaired_onesided_t_test_diffsizes(
+                p1.lik_mean, p1.lik_var, p2.lik_mean, p2.lik_var,
+                float(p1.attempts), float(p2.attempts))
+        return max(simple_norm, np.log(max(pval, 1e-300)))
+    return simple_norm
+
+
+def genotype_distance(gt1, gt2, dist_matrix: np.ndarray) -> float:
+    """Min-permutation distance between genotypes (solve.rs:338-347)."""
+    import itertools
+    best = np.inf
+    for perm in itertools.permutations(gt1):
+        d = sum(0 if i == j else dist_matrix[i, j] for i, j in zip(perm, gt2))
+        best = min(best, d)
+    return float(best)
+
+
+@dataclass
+class Genotyping:
+    """Final result (solve.rs:556-767)."""
+    tag: str
+    genotypes: list                 # [(h1, h2)] best..worst
+    ln_probs: np.ndarray
+    predictions: list
+    quality: float
+    total_reads: int
+    weighted_dist: float | None = None
+    distances: list | None = None
+    unexpl_reads: int | None = None
+    warnings: list = field(default_factory=list)
+
+    def to_json(self, hap_names: list[str]):
+        def gt_name(gt):
+            return ",".join(hap_names[h] for h in gt)
+        obj = dict(total_reads=self.total_reads, quality=self.quality)
+        if self.weighted_dist is not None:
+            obj["weight_dist"] = self.weighted_dist
+        if self.unexpl_reads is not None:
+            obj["unexpl_reads"] = self.unexpl_reads
+        if self.genotypes:
+            obj["genotype"] = gt_name(self.genotypes[0])
+            options = []
+            for i, gt in enumerate(self.genotypes):
+                pred = self.predictions[i]
+                o = dict(genotype=gt_name(gt),
+                         lik_mean=mathx.to_log10(pred.lik_mean).item(),
+                         lik_sd=mathx.to_log10(pred.lik_var).item(),
+                         prob=float(np.exp(self.ln_probs[i])),
+                         log10_prob=mathx.to_log10(self.ln_probs[i]).item())
+                if self.distances is not None:
+                    o["dist_to_primary"] = self.distances[i]
+                options.append(o)
+            obj["options"] = options
+        if self.warnings:
+            obj["warnings"] = self.warnings
+        return obj
+
+
+def run_filter(genotypes: np.ndarray, priors: np.ndarray,
+               best_aln_matrix: np.ndarray, filt_diff: float,
+               out_size: int) -> np.ndarray:
+    """Stage-0 filter on alignment likelihood alone (solve.rs:87-122):
+    score(gt) = prior + Σ_r max_h∈gt best_aln[h, r]."""
+    gt_best = np.maximum(best_aln_matrix[genotypes[:, 0]],
+                         best_aln_matrix[genotypes[:, 1]])     # [G, R]
+    scores = priors + gt_best.sum(axis=1)
+    ixs = np.argsort(-scores, kind="stable")
+    n = ixs.size
+    if out_size >= n:
+        return ixs
+    thresh = scores[ixs[0]] - filt_diff
+    m = int(np.searchsorted(-scores[ixs], -thresh, side="right"))
+    if m < out_size:
+        thresh = scores[ixs[out_size - 1]]
+        m = int(np.searchsorted(-scores[ixs], -thresh, side="right"))
+    m = min(max(m, 1), n)
+    logger.debug("    Filter: keep %d/%d genotypes (%.1f%%)", m, n, 100.0 * m / n)
+    return ixs[:m]
+
+
+def discard_improbable(ixs: np.ndarray, predictions: dict, genotypes,
+                       prob_thresh: float, out_size: int) -> np.ndarray:
+    """(solve.rs:415-470)."""
+    n = ixs.size
+    if out_size >= n:
+        return ixs
+    order = sorted(ixs.tolist(), key=lambda i: -predictions[i].lik_mean)
+    best = predictions[order[0]]
+    new_ixs = order[:out_size]
+    if out_size <= 500:
+        dropped = 0
+        for ix in order[out_size:]:
+            ln_pval = compare_two_likelihoods(predictions[ix], best)
+            if ln_pval >= prob_thresh:
+                new_ixs.append(ix)
+            else:
+                dropped += 1
+                if dropped >= 5:
+                    break
+    logger.debug("    Keep %d/%d genotypes after culling", len(new_ixs), n)
+    return np.array(new_ixs)
+
+
+def produce_result(ixs, predictions: dict, genotypes, tag: str,
+                   total_reads: int, params: Params) -> Genotyping:
+    """(solve.rs:472-524)."""
+    THRESH = np.log(1e-5)
+    MAX_GENOTYPES = 50
+    min_output = max(4, params.out_bams)
+    thresh_prob = min(THRESH, params.prob_thresh)
+    order = sorted(ixs.tolist(), key=lambda i: -predictions[i].lik_mean)
+    n = min(len(order), MAX_GENOTYPES)
+    ln_probs = np.zeros(n)
+    out_gts, preds = [], []
+    i = 0
+    while i < n:
+        pred_i = predictions[order[i]]
+        out_gts.append(tuple(genotypes[order[i]]))
+        for j in range(i + 1, n):
+            pred_j = predictions[order[j]]
+            prob_j = compare_two_likelihoods(pred_j, pred_i)
+            if i == 0 and j >= min_output and prob_j < thresh_prob:
+                n = j
+                break
+            ln_probs[i] += np.log1p(-min(np.exp(prob_j), 1.0 - 1e-15))
+            ln_probs[j] += prob_j
+        preds.append(pred_i)
+        i += 1
+    ln_probs = ln_probs[:n]
+    norm = mathx.ln_sum(ln_probs)
+    ln_probs = ln_probs - norm
+    quality = (min(mathx.phred_from_ln_prob(mathx.ln_sum(ln_probs[1:])), 1e9)
+               if n > 1 else 0.0)
+    return Genotyping(tag=tag, genotypes=out_gts, ln_probs=ln_probs,
+                      predictions=preds, quality=float(quality),
+                      total_reads=total_reads)
+
+
+def solve_locus(tensors: LocusTensors, pack: ContigInfoPack, bg_distr,
+                genotypes: np.ndarray, priors: np.ndarray, params: Params,
+                scheme: Scheme, key, tag: str = "locus",
+                dist_matrix: np.ndarray | None = None,
+                gt_batch: int = 512) -> Genotyping:
+    """Full multi-stage solve of one locus on device."""
+    import jax
+
+    mul_coef = 2.0 if bg_distr.insert_distr.is_paired_end else 1.0
+    bayes = build_bayes_table(bg_distr.depth.distributions, list(params.alt_cn),
+                              mul_coef)
+    # Stage-0 filter on pure alignment likelihood.
+    best_aln = np.maximum(tensors.hap_prob.max(axis=2),
+                          tensors.unmapped_prob[None, :])       # [H, R]
+    ixs = run_filter(genotypes, priors, best_aln, params.filt_diff,
+                     scheme.stages[0].in_size)
+
+    predictions: dict[int, Prediction] = {}
+    n_stages = len(scheme.stages)
+    for s_ix, stage in enumerate(scheme.stages):
+        out_size = (scheme.stages[s_ix + 1].in_size
+                    if s_ix + 1 < n_stages else None)
+        if not (params.dont_skip or out_size is None or out_size < ixs.size):
+            logger.info("    Skipping stage %d, not enough genotypes", s_ix + 1)
+            continue
+        t0 = time.monotonic()
+        cfg = SolverConfig(
+            anneal_steps=stage.anneal_steps,
+            polish_steps=stage.polish_steps,
+            depth_contrib=params.depth_contrib,
+            aln_contrib=params.aln_contrib,
+            prob_diff=params.prob_diff,
+            tweak=int(params.tweak or 0),
+            window_size=pack.window_size,
+        )
+        random_init = stage.kind == "anneal"
+        for s in range(0, ixs.size, gt_batch):
+            chunk = ixs[s:s + gt_batch]
+            pad = 0
+            gts = genotypes[chunk]
+            if chunk.size < min(gt_batch, ixs.size):
+                # Pad to a stable shape to avoid recompilation.
+                pad = min(gt_batch, ixs.size) - chunk.size
+                gts = np.concatenate([gts, np.repeat(gts[-1:], pad, 0)])
+            liks, _ = solve_genotypes(
+                jax.random.fold_in(key, s_ix * 100003 + s), gts,
+                tensors.hap_prob, tensors.hap_mid, tensors.unmapped_prob,
+                pack.n_windows, pack.reg_start, pack.contig_len,
+                pack.gc_at, pack.weight_at, bayes, cfg,
+                n_attempts=stage.attempts, max_windows=pack.max_windows,
+                random_init=random_init)
+            liks = np.asarray(liks, dtype=np.float64)
+            if pad:
+                liks = liks[:chunk.size]
+            for row, ix in zip(liks, chunk.tolist()):
+                row = row + priors[ix]
+                mean, var = mathx.mean_variance(row)
+                predictions[ix] = Prediction(mean, var, stage.attempts)
+        dt = time.monotonic() - t0
+        logger.info("    Stage %d (%s): %d genotypes x %d attempts in %.2fs "
+                    "(%.4f s/gt)", s_ix + 1, stage.kind, ixs.size,
+                    stage.attempts, dt, dt / max(ixs.size, 1))
+        if out_size is not None:
+            ixs = discard_improbable(ixs, predictions, genotypes,
+                                     params.prob_thresh, out_size)
+
+    result = produce_result(ixs, predictions, genotypes, tag,
+                            tensors.n_reads, params)
+    if dist_matrix is not None:
+        dists = [0.0 if i == 0 else
+                 genotype_distance(result.genotypes[0], gt, dist_matrix)
+                 for i, gt in enumerate(result.genotypes)]
+        probs = np.exp(result.ln_probs)
+        result.weighted_dist = float(np.sum(probs * np.array(dists))
+                                     / max(np.sum(probs), 1e-300))
+        result.distances = dists
+    return result
