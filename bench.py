@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Benchmark: reads aligned per second per chip on the banded ML aligner.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The measured kernel is the pipeline's hot path (SURVEY.md §3.1 hot loops
+#2+#3): banded alignment of every recruited read against candidate haplotype
+windows, including op counting (edit distance + error-profile likelihood).
+
+Baseline: the reference outsources this step to strobealign
+(command/genotype.rs:978-1074); strobealign-class short-read mappers sustain
+~10k reads/s/core at these read lengths (order-of-magnitude figure, the repo
+publishes no numbers — BASELINE.md).  vs_baseline = our reads/s / 10_000.
+"""
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_READS_PER_SEC = 10_000.0
+
+
+def main():
+    import jax
+    from locityper_tpu.ops import align as A
+    from locityper_tpu import sim
+
+    rng = np.random.default_rng(0)
+    L, band, batch = 152, 48, 4096
+    hap = sim.random_genome(rng, 200_000)
+    err = sim.ErrorModel(0.002, 0.0002, 0.0002)
+    sc = A.Scores.from_error_rates(0.002, 0.0002, 0.0002)
+    score_vec = np.array(sc.astuple(), np.float32)
+
+    def make_inputs():
+        reads = np.full((batch, L), 4, np.int8)
+        lens = np.zeros(batch, np.int32)
+        wins = np.full((batch, L + band), 4, np.int8)
+        for i in range(batch):
+            start = int(rng.integers(0, hap.size - L - 1))
+            r = err.apply(rng, hap[start:start + L])[:L]
+            lens[i] = r.size
+            reads[i, :r.size] = r
+            wins[i] = A.extract_windows(hap, np.array([start - band // 2]),
+                                        L + band)[0]
+        return jax.device_put(reads), jax.device_put(lens), jax.device_put(wins)
+
+    # Distinct input sets cycled across iterations so no caching layer can
+    # skip the work; all device_put up front to exclude H2D transfer.
+    inputs = [make_inputs() for _ in range(4)]
+    res = A.align_batch(*inputs[0], score_vec, band=band)   # compile
+    jax.block_until_ready(res)
+
+    iters = 24
+    t0 = time.perf_counter()
+    outs = []
+    for it in range(iters):
+        r, l, w = inputs[it % len(inputs)]
+        outs.append(A.align_batch(r, l, w, score_vec, band=band)["score"])
+    jax.block_until_ready(outs)
+    dt = time.perf_counter() - t0
+    reads_per_sec = iters * batch / dt
+    res = A.align_batch(*inputs[0], score_vec, band=band)
+
+    n_mism = np.asarray(res["n_mism"])
+    print(f"devices={jax.devices()} batch={batch} L={L} band={band} "
+          f"iters={iters} wall={dt:.3f}s median_mism={np.median(n_mism)}",
+          file=sys.stderr)
+    print(json.dumps({
+        "metric": "reads_aligned_per_sec_per_chip",
+        "value": round(float(reads_per_sec), 1),
+        "unit": "reads/s",
+        "vs_baseline": round(float(reads_per_sec) / BASELINE_READS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

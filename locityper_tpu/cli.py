@@ -1,0 +1,40 @@
+"""Command-line interface (counterpart of reference src/main.rs +
+command/mod.rs dispatcher).
+
+Subcommands: add, preproc, genotype, recruit, align, prune, paf-vcf.
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+
+from .utils.logging import setup_logging
+
+
+def main(argv=None):
+    setup_logging()
+    parser = argparse.ArgumentParser(
+        prog="locityper-tpu",
+        description="TPU-native targeted genotyper (Locityper method)")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    from .commands import add, preproc, genotype, recruit, align, prune, paf_vcf
+    for mod, name, help_ in [
+        (add, "add", "Add locus/loci to the database"),
+        (preproc, "preproc", "Preprocess a WGS sample (background distributions)"),
+        (genotype, "genotype", "Genotype a sample over database loci"),
+        (recruit, "recruit", "Recruit reads to target sequences"),
+        (align, "align", "All-vs-all haplotype alignment (PAF output)"),
+        (prune, "prune", "Prune similar haplotypes from the database"),
+        (paf_vcf, "paf-vcf", "Convert haplotype PAF alignments to VCF"),
+    ]:
+        p = sub.add_parser(name, help=help_)
+        mod.add_args(p)
+        p.set_defaults(func=mod.run)
+
+    args = parser.parse_args(argv)
+    return args.func(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

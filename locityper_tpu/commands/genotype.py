@@ -1,0 +1,157 @@
+"""`genotype` command: the main per-sample analysis.
+
+Counterpart of reference command/genotype.rs (run :1209-1309,
+analyze_locus :1110-1207): load background distributions + DB loci, recruit
+reads against all loci at once, then per locus run the recruit→align→solve
+pipeline and write res.json.gz.
+"""
+from __future__ import annotations
+
+import gzip
+import json
+from pathlib import Path
+
+import numpy as np
+
+from ..bg import BgDistr
+from ..model import Params
+from ..pipeline import LocusData, genotype_locus
+from ..seq import fastx
+from ..seq.contigs import ContigSet
+from ..seq.counts import KmerCounts
+from ..seq.recruit import RecruitParams, TargetIndex, recruit_any
+from ..solvers.solve import Scheme
+from ..utils import paths
+from ..utils.io import Rerun, write_success
+from ..utils.logging import Progress, get_logger
+
+logger = get_logger("genotype")
+
+
+def add_args(p):
+    p.add_argument("-i", "--input", nargs="+", required=True)
+    p.add_argument("-d", "--db", required=True, help="Database directory")
+    p.add_argument("-p", "--preproc", required=True,
+                   help="Preprocessing output directory")
+    p.add_argument("-o", "--output", required=True)
+    p.add_argument("--loci", nargs="*", default=None,
+                   help="Subset of loci to genotype (default: all)")
+    p.add_argument("--interleaved", action="store_true")
+    p.add_argument("-S", "--solvers", nargs="*", default=None,
+                   help='Solver stages, e.g. "greedy:i=5k,a=1" "anneal:i=20,a=20"')
+    p.add_argument("-P", "--ploidy", type=int, default=2)
+    p.add_argument("--seed", type=int, default=1)
+    p.add_argument("--subsample", type=float, default=None,
+                   help="Recruit this fraction of reads")
+    p.add_argument("--rerun", default="none")
+    return p
+
+
+def load_locus(db: Path, name: str) -> LocusData:
+    ldir = paths.locus_dir(db, name)
+    named = [(r.name, r.seq) for r in fastx.read_fastx_auto(ldir / paths.HAPLOTYPES)]
+    cset = ContigSet(name, [n for n, _ in named], [s for _, s in named])
+    kc = KmerCounts.load_npz(ldir / paths.KMER_COUNTS)
+    dist = None
+    dist_path = ldir / paths.DISTANCES
+    if dist_path.exists():
+        dist = np.load(dist_path)["div"]
+    return LocusData(cset, kc, dist)
+
+
+def list_loci(db: Path) -> list[str]:
+    loci_dir = Path(db) / paths.LOCI_DIR
+    return sorted(d.name for d in loci_dir.iterdir()
+                  if (d / paths.HAPLOTYPES).exists())
+
+
+def recruit_reads(loci: dict, read_iter, recruit_params: RecruitParams,
+                  subsample=None, seed=0):
+    """Recruits all reads against all loci at once (genotype.rs:931-975).
+    Returns {locus_name: (read_pairs, names)} and the recruitment speed."""
+    index = TargetIndex(recruit_params)
+    order = list(loci)
+    for name in order:
+        index.add_locus(loci[name].contig_set, loci[name].kmer_counts)
+    index.finalize()
+    logger.info("Recruitment index: %d minimizers over %d loci",
+                index.keys.size, index.n_loci)
+    out = {name: ([], []) for name in order}
+    progress = Progress(logger, "reads")
+    rng = np.random.default_rng(seed)
+    for name, c1, c2 in read_iter:
+        if subsample is not None and rng.random() >= subsample:
+            continue
+        hit = recruit_any(index, c1, c2)
+        for locus_ix in hit:
+            pairs, names = out[order[locus_ix]]
+            pairs.append((c1, c2))
+            names.append(name)
+        progress.add(1, int(bool(hit)))
+    speed = progress.final()
+    return out, speed
+
+
+def _read_iter(inputs, interleaved):
+    if len(inputs) == 2:
+        for r1, r2 in fastx.read_pairs(inputs[0], inputs[1]):
+            yield r1.name, r1.seq, r2.seq
+    elif interleaved:
+        for r1, r2 in fastx.read_pairs(inputs[0], interleaved=True):
+            yield r1.name, r1.seq, r2.seq
+    else:
+        for r in fastx.read_fastx_auto(inputs[0]):
+            yield r.name, r.seq, None
+
+
+def run(args):
+    db = Path(args.db)
+    out = Path(args.output)
+    rerun = Rerun.parse(args.rerun)
+    bg = BgDistr.load(paths.bg_dir(args.preproc) / paths.BG_DISTR)
+    tech = bg.seq_info.technology
+
+    locus_names = args.loci if args.loci else list_loci(db)
+    loci = {}
+    todo = []
+    for name in locus_names:
+        ldir = out / paths.LOCI_DIR / name
+        if not rerun.prepare_dir(ldir):
+            logger.info("[%s] already genotyped, skipping", name)
+            continue
+        loci[name] = load_locus(db, name)
+        todo.append(name)
+    if not todo:
+        logger.info("Nothing to do")
+        return 0
+
+    rp = RecruitParams(
+        match_frac=tech.default_match_frac(bg.insert_distr.is_paired_end))
+    recruited, _ = recruit_reads(
+        loci, _read_iter(args.input, args.interleaved), rp,
+        subsample=args.subsample, seed=args.seed)
+
+    scheme = Scheme.parse(args.solvers or [])
+    params = Params(unmapped_penalty=tech.default_unmapped_penalty())
+    failures = 0
+    for li, name in enumerate(todo):
+        pairs, names = recruited[name]
+        ldir = out / paths.LOCI_DIR / name
+        logger.info("[%s] %d recruited read(pair)s", name, len(pairs))
+        try:
+            result, stats = genotype_locus(
+                loci[name], pairs, names, bg, params=params, scheme=scheme,
+                seed=args.seed + li, tag=name, ploidy=args.ploidy)
+        except Exception:
+            logger.exception("[%s] genotyping failed", name)
+            failures += 1
+            continue
+        with gzip.open(ldir / paths.RES_JSON, "wt") as f:
+            json.dump(result.to_json(loci[name].contig_set.contigs.names), f,
+                      indent=1)
+        write_success(ldir)
+        if result.genotypes:
+            logger.info("[%s] GT = %s, quality %.1f", name,
+                        result.to_json(loci[name].contig_set.contigs.names)
+                        .get("genotype"), result.quality)
+    return 1 if failures else 0

@@ -1,0 +1,106 @@
+"""`preproc` command: estimate background distributions from a WGS sample.
+
+Counterpart of reference command/preproc.rs: pick a background region, map
+the sample's reads to it (internal banded aligner instead of
+strobealign/minimap2 pipes, :716-988), then estimate insert-size, error and
+depth models (:1076-1165).  Writes bg/distr.json.gz + success.
+"""
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+from ..bg import Technology
+from ..pipeline import estimate_bg_from_sim
+from ..seq import fastx
+from ..seq.counts import GenomeKmerCounter
+from ..utils import paths
+from ..utils.io import Rerun, write_success
+from ..utils.logging import get_logger
+
+logger = get_logger("preproc")
+
+
+def add_args(p):
+    p.add_argument("-i", "--input", nargs="+", required=True,
+                   help="Read files (1 = single/interleaved, 2 = paired)")
+    p.add_argument("-r", "--reference", required=True, help="Reference FASTA")
+    p.add_argument("-o", "--output", required=True, help="Output directory")
+    p.add_argument("-b", "--bg-region", default=None,
+                   help="Background region as chrom:start-end "
+                        "(default: middle of the largest contig)")
+    p.add_argument("--tech", default="illumina",
+                   help="illumina/hifi/pacbio/ont [%(default)s]")
+    p.add_argument("--interleaved", action="store_true")
+    p.add_argument("-k", "--kmer", type=int, default=25)
+    p.add_argument("--max-reads", type=int, default=200_000,
+                   help="Cap on reads used for estimation")
+    p.add_argument("--rerun", default="none")
+    return p
+
+
+def select_bg_region(genome: dict, spec: str | None, pad: int = 0):
+    """(preproc.rs:610-657): defaults to a central slice of the largest
+    contig when not specified (the reference defaults to a chr17 region of
+    known genome builds)."""
+    if spec:
+        chrom, _, rng = spec.partition(":")
+        start, _, end = rng.partition("-")
+        return chrom, int(start.replace(",", "")), int(end.replace(",", ""))
+    name = max(genome, key=lambda n: genome[n].size)
+    n = genome[name].size
+    size = min(4_500_000, max(n // 2, min(n, 100_000)))
+    start = (n - size) // 2
+    return name, start, start + size
+
+
+def run(args):
+    out = Path(args.output)
+    bg_dir = paths.bg_dir(out)
+    rerun = Rerun.parse(args.rerun)
+    if not rerun.prepare_dir(bg_dir):
+        logger.info("Preprocessing already done, skipping")
+        return 0
+    tech = Technology.parse(args.tech)
+
+    genome = dict(fastx.read_fasta(args.reference))
+    chrom, start, end = select_bg_region(genome, args.bg_region)
+    logger.info("Background region: %s:%d-%d", chrom, start, end)
+    region = genome[chrom][start:end]
+    counter = GenomeKmerCounter(args.kmer)
+    for codes in genome.values():
+        counter.add_seq(codes)
+    counter.finalize()
+
+    reads1, reads2 = [], []
+    if len(args.input) == 2:
+        for r1, r2 in fastx.read_pairs(args.input[0], args.input[1]):
+            reads1.append(r1.seq)
+            reads2.append(r2.seq)
+            if len(reads1) >= args.max_reads:
+                break
+    elif args.interleaved:
+        for r1, r2 in fastx.read_pairs(args.input[0], interleaved=True):
+            reads1.append(r1.seq)
+            reads2.append(r2.seq)
+            if len(reads1) >= args.max_reads:
+                break
+    else:
+        for r in fastx.read_fastx_auto(args.input[0]):
+            reads1.append(r.seq)
+            if len(reads1) >= args.max_reads:
+                break
+    logger.info("Loaded %d reads%s", len(reads1),
+                " (paired)" if reads2 else "")
+
+    bg = estimate_bg_from_sim(reads1, reads2, region, counter, tech)
+    bg.save(bg_dir / paths.BG_DISTR)
+    write_success(bg_dir)
+    bg_depth = bg.depth.depth_distribution(40)
+    logger.info("Preprocessing done: read depth %.2f±%.2f (GC 40, haploid), "
+                "insert %.0f, err mism %.4f%%",
+                bg_depth.mean(), np.sqrt(bg_depth.variance()),
+                bg.insert_distr.distr.mean() if bg.insert_distr.distr else 0,
+                100 * np.exp(bg.err_prof.ln_mismatch))
+    return 0

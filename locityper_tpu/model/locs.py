@@ -219,11 +219,16 @@ def _align_candidates(mates, cand_lists, contig_set, score_vec, band, batch=2048
     results = [[] for _ in mates]
     if not jobs:
         return results
-    # Group jobs into batches of equal max length.
+    # Static shapes: pad N to the batch size and L to a 64-multiple bucket so
+    # the device kernel compiles once per (batch, bucket), not per call.
+    max_read = max(m.size for m in mates)
+    L = -(-max_read // 64) * 64
     for s in range(0, len(jobs), batch):
         chunk = jobs[s:s + batch]
-        L = max(mates[j[0]].size for j in chunk)
-        N = len(chunk)
+        # Bucket N to powers of two (>=256) to bound distinct compile shapes.
+        N = 256
+        while N < len(chunk):
+            N *= 2
         reads = np.full((N, L), 4, np.int8)
         lens = np.zeros(N, np.int32)
         wins = np.full((N, L + band), 4, np.int8)

@@ -1,0 +1,100 @@
+"""Multi-chip execution: device meshes and sharded genotyping steps.
+
+The reference is a single-node multi-threaded CPU tool (SURVEY.md §2.3); its
+two worker pools map onto a 2-axis device mesh here:
+
+* axis "read" (data parallel): read batches and the read×haplotype
+  likelihood tensors are sharded by read; per-genotype filter scores are
+  partial sums reduced with `psum` over ICI (counterpart of the recruitment
+  and alignment-loading pools, recruit.rs:1103-1311, locs.rs:1120-1146);
+* axis "gt" (task parallel): genotype×attempt annealing chains are
+  embarrassingly parallel and shard along "gt" (counterpart of the solver
+  worker pool, solve.rs:969-1127 — mpsc channels become sharding
+  annotations, XLA inserts the gathers).
+
+Loci are independent (outer loop) and shard across hosts/DCN unchanged.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.solver import SolverConfig, solve_genotypes
+
+
+def make_mesh(n_devices: int | None = None, read_axis: int | None = None) -> Mesh:
+    """2D mesh {read × gt}.  By default puts min(2, n) on the read axis."""
+    devices = jax.devices()
+    n = n_devices or len(devices)
+    devices = devices[:n]
+    if read_axis is None:
+        read_axis = 2 if n % 2 == 0 and n > 1 else 1
+    arr = np.array(devices).reshape(read_axis, n // read_axis)
+    return Mesh(arr, axis_names=("read", "gt"))
+
+
+def sharded_filter_scores(mesh: Mesh, best_aln: jnp.ndarray,
+                          genotypes: jnp.ndarray, priors: jnp.ndarray):
+    """Stage-0 filter with reads sharded over the "read" axis:
+    score[g] = prior[g] + Σ_r max(best_aln[h1, r], best_aln[h2, r]).
+    The read-sum is a psum over ICI (solve.rs:87-122 redistributed)."""
+    from jax.experimental.shard_map import shard_map
+
+    def local(best_aln_shard, genotypes, priors):
+        gt_best = jnp.maximum(best_aln_shard[genotypes[:, 0]],
+                              best_aln_shard[genotypes[:, 1]])
+        partial = jnp.sum(gt_best, axis=1)
+        total = jax.lax.psum(partial, "read")
+        return priors + total
+
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(None, "read"), P(None), P(None)),
+        out_specs=P(None),
+        check_rep=False)
+    return jax.jit(fn)(best_aln, genotypes, priors)
+
+
+def sharded_solve(mesh: Mesh, key, genotypes, hap_prob, hap_mid, unmapped_prob,
+                  pack_nwin, pack_regstart, pack_len, gc_at, weight_at, bayes,
+                  cfg: SolverConfig, n_attempts: int, max_windows: int,
+                  random_init: bool = True):
+    """Genotype-sharded annealing: genotype batch split along BOTH mesh axes
+    (chains are independent; the full mesh works on genotypes)."""
+    n = mesh.devices.size
+    G = genotypes.shape[0]
+    pad = (-G) % n
+    if pad:
+        genotypes = jnp.concatenate([genotypes,
+                                     jnp.repeat(genotypes[-1:], pad, 0)])
+    gt_sharding = NamedSharding(mesh, P(("read", "gt"), None))
+    rep = NamedSharding(mesh, P())
+    genotypes = jax.device_put(genotypes, gt_sharding)
+    args = [jax.device_put(a, rep) for a in
+            (hap_prob, hap_mid, unmapped_prob, pack_nwin, pack_regstart,
+             pack_len, gc_at, weight_at, bayes)]
+    liks, assgn = solve_genotypes(key, genotypes, *args, cfg=cfg,
+                                  n_attempts=n_attempts,
+                                  max_windows=max_windows,
+                                  random_init=random_init)
+    liks = np.asarray(liks)
+    return (liks[:G] if pad else liks)
+
+
+def full_step(mesh: Mesh, key, tensors, pack, bayes, genotypes, priors,
+              cfg: SolverConfig, n_attempts: int = 2):
+    """One full sharded genotyping step: read-sharded filter + gt-sharded
+    solve.  This is the multi-chip 'training step' validated by
+    __graft_entry__.dryrun_multichip."""
+    best_aln = jnp.maximum(jnp.max(tensors.hap_prob, axis=2),
+                           tensors.unmapped_prob[None, :])
+    scores = sharded_filter_scores(mesh, best_aln, jnp.asarray(genotypes),
+                                   jnp.asarray(priors))
+    liks = sharded_solve(
+        mesh, key, jnp.asarray(genotypes), tensors.hap_prob, tensors.hap_mid,
+        tensors.unmapped_prob, pack.n_windows, pack.reg_start,
+        pack.contig_len, pack.gc_at, pack.weight_at, bayes, cfg,
+        n_attempts=n_attempts, max_windows=pack.max_windows)
+    return np.asarray(scores), liks

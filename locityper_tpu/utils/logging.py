@@ -7,11 +7,16 @@ _FMT = "[%(asctime)s %(levelname)s %(name)s] %(message)s"
 
 
 def setup_logging(level: int = logging.DEBUG) -> None:
-    logging.basicConfig(level=level, format=_FMT, datefmt="%H:%M:%S", stream=sys.stderr)
+    # Root stays at INFO so third-party (jax) debug spam is suppressed;
+    # our own namespace runs at `level`.
+    logging.basicConfig(level=logging.INFO, format=_FMT, datefmt="%H:%M:%S",
+                        stream=sys.stderr)
+    logging.getLogger("locityper").setLevel(level)
+    logging.getLogger("jax").setLevel(logging.WARNING)
 
 
 def get_logger(name: str) -> logging.Logger:
-    return logging.getLogger(name)
+    return logging.getLogger(f"locityper.{name}")
 
 
 class Progress:

@@ -1,0 +1,196 @@
+"""Full CLI drive: add → preproc → genotype on simulated files, plus
+recruit/align/prune/paf-vcf smoke coverage."""
+import gzip
+import json
+
+import numpy as np
+import pytest
+
+from locityper_tpu import cli, sim
+from locityper_tpu.seq import dna, fastx
+from locityper_tpu.utils.io import smart_create
+
+
+@pytest.fixture(scope="module")
+def world(tmp_path_factory):
+    """Simulated reference genome with an embedded locus, haplotype panel,
+    and a WGS sample from the true genotype + background."""
+    root = tmp_path_factory.mktemp("cliworld")
+    rng = np.random.default_rng(123)
+    locus = sim.simulate_locus(rng, "GENE1", length=4000, n_haps=5,
+                               divergence=0.015)
+    left = sim.random_genome(rng, 120_000)
+    right = sim.random_genome(rng, 120_000)
+    genome = np.concatenate([left, locus.haplotypes[0], right])
+    locus_start, locus_end = left.size, left.size + locus.haplotypes[0].size
+
+    ref_fa = root / "ref.fa"
+    with open(ref_fa, "w") as f:
+        fastx.write_fasta(f, "chr1", genome)
+    bed = root / "loci.bed"
+    bed.write_text(f"chr1\t{locus_start}\t{locus_end}\tGENE1\n")
+    haps_fa = root / "haps_GENE1.fa"
+    with open(haps_fa, "w") as f:
+        for name, seq in zip(locus.hap_names, locus.haplotypes):
+            fastx.write_fasta(f, name, seq)
+
+    # Sample: reads from the true genotype haplotypes + genome background.
+    true_haps = [locus.haplotypes[i] for i in locus.true_genotype]
+    err = sim.ErrorModel(0.002, 0.0002, 0.0002)
+    locus_reads = sim.simulate_paired_reads(rng, true_haps, depth=15.0,
+                                            errors=err, prefix="loc")
+    bg_reads = sim.simulate_paired_reads(rng, [genome], depth=4.0,
+                                         errors=err, prefix="bg")
+    r1 = root / "reads_1.fq.gz"
+    r2 = root / "reads_2.fq.gz"
+    order = rng.permutation(len(locus_reads.reads1) + len(bg_reads.reads1))
+    all1 = locus_reads.reads1 + bg_reads.reads1
+    all2 = locus_reads.reads2 + bg_reads.reads2
+    names = locus_reads.names + bg_reads.names
+    with smart_create(r1) as f1, smart_create(r2) as f2:
+        for i in order:
+            fastx.write_fastq(f1, fastx.Read(names[i], all1[i]))
+            fastx.write_fastq(f2, fastx.Read(names[i], all2[i]))
+    return dict(root=root, locus=locus, ref_fa=ref_fa, bed=bed,
+                haps_fa=haps_fa, r1=r1, r2=r2,
+                n_locus_reads=len(locus_reads.reads1))
+
+
+@pytest.fixture(scope="module")
+def db(world):
+    dbdir = world["root"] / "db"
+    rc = cli.main(["add", "-d", str(dbdir), "-r", str(world["ref_fa"]),
+                   "-l", str(world["bed"]),
+                   "-s", str(world["root"] / "haps_{}.fa")])
+    assert rc == 0
+    return dbdir
+
+
+@pytest.fixture(scope="module")
+def prep(world):
+    out = world["root"] / "sample"
+    rc = cli.main(["preproc", "-i", str(world["r1"]), str(world["r2"]),
+                   "-r", str(world["ref_fa"]), "-o", str(out),
+                   "-b", "chr1:10000-110000", "--max-reads", "8000"])
+    assert rc == 0
+    return out
+
+
+class TestAdd:
+    def test_db_layout(self, db):
+        ldir = db / "loci" / "GENE1"
+        assert (ldir / "haplotypes.fa.gz").exists()
+        assert (ldir / "kmers.npz").exists()
+        assert (ldir / "distances.npz").exists()
+        assert (ldir / "success").exists()
+        div = np.load(ldir / "distances.npz")["div"]
+        assert div.shape[0] == div.shape[1] >= 4
+        assert (div >= 0).all() and np.allclose(div, div.T)
+
+    def test_offtarget_counts_unique(self, db):
+        from locityper_tpu.seq.counts import KmerCounts
+        kc = KmerCounts.load_npz(db / "loci" / "GENE1" / "kmers.npz")
+        # Haplotype 0 == embedded reference: fully unique to the locus.
+        assert float(np.mean(kc.counts[0] == 0)) > 0.95
+
+
+class TestPreproc:
+    def test_distr_written(self, prep):
+        from locityper_tpu.bg import BgDistr
+        bg = BgDistr.load(prep / "bg" / "distr.json.gz")
+        assert bg.insert_distr.is_paired_end
+        # Simulated insert: N(400, 60^2).
+        assert bg.insert_distr.distr.mean() == pytest.approx(400, rel=0.1)
+        assert np.exp(bg.err_prof.ln_mismatch) == pytest.approx(0.002, rel=0.5)
+        # Depth: 4x over genome, haploid first-mate per 100bp window:
+        # 4 * 100 / (2*150) / 2 = 0.67
+        m = bg.depth.depth_distribution(45).mean()
+        assert 0.4 < m < 1.0
+
+
+class TestGenotype:
+    def test_true_genotype_called(self, world, db, prep):
+        out = world["root"] / "out"
+        rc = cli.main([
+            "genotype", "-i", str(world["r1"]), str(world["r2"]),
+            "-d", str(db), "-p", str(prep), "-o", str(out),
+            "-S", "greedy:i=5k,a=1", "anneal:i=8,a=8,n=3000,p=2000",
+            "--seed", "5"])
+        assert rc == 0
+        res_path = out / "loci" / "GENE1" / "res.json.gz"
+        assert res_path.exists()
+        with gzip.open(res_path, "rt") as f:
+            res = json.load(f)
+        locus = world["locus"]
+        truth = ",".join(locus.hap_names[i] for i in locus.true_genotype)
+        called = ",".join(sorted(res["genotype"].split(",")))
+        truth = ",".join(sorted(truth.split(",")))
+        assert called == truth, res
+        assert res["quality"] > 10
+        assert (out / "loci" / "GENE1" / "success").exists()
+
+
+class TestRecruitCmd:
+    def test_standalone(self, world, tmp_path):
+        out = tmp_path / "recruited.fq"
+        rc = cli.main(["recruit", "-i", str(world["r1"]), str(world["r2"]),
+                       "-s", str(world["haps_fa"]), "-o", str(out)])
+        assert rc == 0
+        n = sum(1 for _ in fastx.read_fastq(out))
+        # Should recruit ~ all locus pairs (2 reads per pair), few bg reads.
+        assert n > 1.5 * world["n_locus_reads"]
+        assert n < 2.6 * world["n_locus_reads"]
+
+
+class TestAlignCmd:
+    def test_paf_output(self, world, tmp_path):
+        out = tmp_path / "haps.paf"
+        # Pairwise-mutated haps are ~3% divergent -> minimizer Jaccard ~0.6,
+        # above the reference's 0.5 pre-filter; disable the gate to force
+        # all 10 pairs.
+        rc = cli.main(["align", "-i", str(world["haps_fa"]), "-o", str(out),
+                       "--max-div", "1.0"])
+        assert rc == 0
+        rows = [l.split("\t") for l in open(out).read().splitlines()]
+        assert len(rows) == 10  # 5 choose 2
+        for r in rows:
+            assert int(r[9]) > 3000  # matches: haps are 98.5% identical
+
+
+class TestPruneCmd:
+    def test_prune(self, world, db, tmp_path):
+        import shutil
+        db2 = tmp_path / "db2"
+        shutil.copytree(db, db2)
+        rc = cli.main(["prune", "-d", str(db2), "-n", "2"])
+        assert rc == 0
+        n = sum(1 for _ in fastx.read_fastx_auto(
+            db2 / "loci" / "GENE1" / "haplotypes.fa.gz"))
+        assert n == 2
+
+
+class TestPafVcf:
+    def test_conversion(self, tmp_path):
+        # Hand-built example: query differs from target by 1 SNV and 1 del.
+        t = "ACGTACGTACGTACGTACGT"
+        q = t[:5] + "T" + t[6:10] + t[12:]       # SNV at pos 5, del of 10..12
+        ref_fa = tmp_path / "t.fa"
+        q_fa = tmp_path / "q.fa"
+        with open(ref_fa, "w") as f:
+            fastx.write_fasta(f, "T", dna.encode(t))
+        with open(q_fa, "w") as f:
+            fastx.write_fasta(f, "Q", dna.encode(q))
+        paf = tmp_path / "x.paf"
+        cg = "5=1X4=2D8="
+        paf.write_text(f"Q\t{len(q)}\t0\t{len(q)}\t+\tT\t{len(t)}\t0\t{len(t)}"
+                       f"\t17\t20\t60\tcg:Z:{cg}\n")
+        out = tmp_path / "out.vcf"
+        rc = cli.main(["paf-vcf", "-i", str(paf), "-q", str(q_fa),
+                       "-t", str(ref_fa), "-o", str(out)])
+        assert rc == 0
+        lines = [l for l in open(out) if not l.startswith("#")]
+        assert len(lines) == 2
+        snv = lines[0].split("\t")
+        assert snv[1] == "6" and snv[3] == "C" and snv[4] == "T"
+        dele = lines[1].split("\t")
+        assert dele[1] == "10" and len(dele[3]) == 3 and len(dele[4]) == 1

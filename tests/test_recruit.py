@@ -175,3 +175,68 @@ class TestMultiLocus:
         b_read = locusB.haplotypes[1][500:650]
         assert recruit_short_read(idx, a_read) == [0]
         assert recruit_short_read(idx, b_read) == [1]
+
+
+class TestDeviceRecruit:
+    """Device kernel must reproduce host decisions exactly."""
+
+    def _batch(self, reads, L=160):
+        import numpy as np
+        B = len(reads)
+        out = np.full((B, L), 4, np.int8)
+        for i, r in enumerate(reads):
+            out[i, :min(r.size, L)] = r[:L]
+        return out
+
+    def test_short_matches_host(self, world, index):
+        from locityper_tpu.ops.recruit import DeviceIndex, run_short
+        rng, genome, locus, _, _, _ = world
+        dev = DeviceIndex.from_index(index)
+        reads = sim.simulate_paired_reads(
+            rng, [locus.haplotypes[i] for i in locus.true_genotype], depth=2)
+        mix = reads.reads1[:60] + [genome[s:s + 150]
+                                   for s in range(3000, 12000, 150)]
+        got = run_short(dev, self._batch(mix))
+        for i, r in enumerate(mix):
+            host = recruit_short_read(index, r)
+            device = sorted(np.nonzero(got[i])[0].tolist())
+            assert device == host, f"read {i}: device={device} host={host}"
+
+    def test_pairs_match_host(self, world, index):
+        from locityper_tpu.ops.recruit import DeviceIndex, run_pairs
+        rng, genome, locus, _, _, _ = world
+        dev = DeviceIndex.from_index(index)
+        reads = sim.simulate_paired_reads(
+            rng, [locus.haplotypes[i] for i in locus.true_genotype], depth=2)
+        n = min(60, len(reads.reads1))
+        r1 = reads.reads1[:n]
+        r2 = reads.reads2[:n]
+        got = run_pairs(dev, self._batch(r1), self._batch(r2))
+        for i in range(n):
+            host = recruit_read_pair(index, r1[i], r2[i])
+            device = sorted(np.nonzero(got[i])[0].tolist())
+            assert device == host, f"pair {i}: device={device} host={host}"
+
+    def test_multilocus_device(self):
+        from locityper_tpu.ops.recruit import DeviceIndex, run_short
+        rng = np.random.default_rng(21)
+        genome = sim.random_genome(rng, 30000)
+        counter = GenomeKmerCounter(25)
+        counter.add_seq(genome)
+        counter.finalize()
+        idx = TargetIndex(RecruitParams(match_frac=0.5))
+        loci = []
+        for name in "AB":
+            locus = sim.simulate_locus(rng, name, length=2500, n_haps=3)
+            kc = off_target_counts(counter, locus.haplotypes,
+                                   np.empty(0, dtype=np.int8))
+            idx.add_locus(ContigSet(name, locus.hap_names, locus.haplotypes), kc)
+            loci.append(locus)
+        idx.finalize()
+        dev = DeviceIndex.from_index(idx)
+        reads = [loci[0].haplotypes[0][300:450], loci[1].haplotypes[2][300:450],
+                 genome[100:250]]
+        got = run_short(dev, self._batch(reads))
+        assert got[0].tolist() == [True, False]
+        assert got[1].tolist() == [False, True]
+        assert got[2].tolist() == [False, False]
