@@ -31,8 +31,10 @@ class Params:
     prob_thresh: float = -4.0 * LN10
     dont_skip: bool = False
     out_bams: int = 0
-    # Alignment candidate search:
-    band: int = 48
+    # Alignment candidate search: band width of the DP kernel.  Long reads
+    # accumulate indel drift along the diagonal, so the band scales with
+    # technology (None = auto: 48 short reads, 160 long reads).
+    band: int | None = None
     max_alns_per_hap: int = 10                # MAX_USED_ALNS (locs.rs:733)
     min_anchor_votes: int = 2
 

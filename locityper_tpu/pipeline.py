@@ -48,6 +48,8 @@ def genotype_locus(locus: LocusData, read_pairs, names, bg: BgDistr,
     params.set_tweak_size(window_size)
 
     tech = bg.seq_info.technology
+    if params.band is None:
+        params.band = 48 if tech.are_short_reads else 160
     edit_cache = EditDistCache(bg.err_prof, EditThresh.default_for(tech))
     all_alns, stats = build_all_alignments(
         read_pairs, names, locus.contig_set, locus.kmer_counts, bg,
