@@ -11,8 +11,24 @@ import sys
 from .utils.logging import setup_logging
 
 
+def _enable_compile_cache():
+    """Persistent XLA compilation cache: TPU kernel compiles (which can take
+    minutes through remote-compile setups) are reused across runs."""
+    import os
+    try:
+        import jax
+        cache = os.environ.get("LOCITYPER_JAX_CACHE",
+                               os.path.expanduser("~/.cache/locityper_jax"))
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def main(argv=None):
     setup_logging()
+    _enable_compile_cache()
     parser = argparse.ArgumentParser(
         prog="locityper-tpu",
         description="TPU-native targeted genotyper (Locityper method)")

@@ -43,8 +43,29 @@ def add_args(p):
     p.add_argument("--seed", type=int, default=1)
     p.add_argument("--subsample", type=float, default=None,
                    help="Recruit this fraction of reads")
+    p.add_argument("--out-sams", type=int, default=0,
+                   help="Write read assignments for this many best genotypes "
+                        "as SAM files under <locus>/alns/")
+    p.add_argument("--priors", default=None, metavar="TSV",
+                   help="Genotype priors file: '<locus> <hapA,hapB> <log10 prior>' "
+                        "(non-positive; genotype.rs:563-619)")
     p.add_argument("--rerun", default="none")
     return p
+
+
+def load_priors(path) -> dict:
+    """{locus: {\"hapA,hapB\": ln prior}}."""
+    out: dict = {}
+    with open(path) as f:
+        for line in f:
+            fields = line.split()
+            if not fields or fields[0].startswith("#"):
+                continue
+            locus, gt, p = fields[0], fields[1], float(fields[2])
+            if p > 0 or np.isnan(p):
+                raise SystemExit(f"Invalid prior {p} for genotype {gt}")
+            out.setdefault(locus, {})[gt] = p * np.log(10.0)
+    return out
 
 
 def load_locus(db: Path, name: str) -> LocusData:
@@ -132,16 +153,27 @@ def run(args):
         subsample=args.subsample, seed=args.seed)
 
     scheme = Scheme.parse(args.solvers or [])
-    params = Params(unmapped_penalty=tech.default_unmapped_penalty())
+    params = Params(unmapped_penalty=tech.default_unmapped_penalty(),
+                    out_bams=args.out_sams)
+    all_priors = load_priors(args.priors) if args.priors else {}
     failures = 0
     for li, name in enumerate(todo):
         pairs, names = recruited[name]
         ldir = out / paths.LOCI_DIR / name
         logger.info("[%s] %d recruited read(pair)s", name, len(pairs))
+        locus_priors = None
+        if name in all_priors:
+            cn = loci[name].contig_set.contigs
+            locus_priors = {}
+            for gt_str, lp in all_priors[name].items():
+                ids = tuple(sorted(cn.id_of(h) for h in gt_str.split(",")))
+                locus_priors[ids] = lp
         try:
             result, stats = genotype_locus(
                 loci[name], pairs, names, bg, params=params, scheme=scheme,
-                seed=args.seed + li, tag=name, ploidy=args.ploidy)
+                seed=args.seed + li, tag=name, ploidy=args.ploidy,
+                priors=locus_priors,
+                sam_dir=(ldir / paths.ALNS_OUT_DIR) if args.out_sams else None)
         except Exception:
             logger.exception("[%s] genotyping failed", name)
             failures += 1

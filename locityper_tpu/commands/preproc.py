@@ -36,8 +36,59 @@ def add_args(p):
     p.add_argument("-k", "--kmer", type=int, default=25)
     p.add_argument("--max-reads", type=int, default=200_000,
                    help="Cap on reads used for estimation")
+    p.add_argument("--like", default=None, metavar="DIR",
+                   help="Reuse another sample's distributions, rescaling "
+                        "read depth by the read-count or file-size ratio "
+                        "(preproc.rs:1304-1352)")
     p.add_argument("--rerun", default="none")
     return p
+
+
+def _count_input(paths) -> tuple[int, int]:
+    """(total_reads, total_file_size) of the input files."""
+    import gzip
+    total_reads = 0
+    total_size = 0
+    for path in paths:
+        total_size += Path(path).stat().st_size
+        opener = gzip.open if str(path).endswith(".gz") else open
+        with opener(path, "rb") as f:
+            first = f.readline()
+            n_lines = 1 + sum(1 for _ in f)
+        per_rec = 4 if first.startswith(b"@") else 2
+        total_reads += n_lines // per_rec
+    return total_reads, total_size
+
+
+def run_like(args) -> int:
+    """--like path: clone distributions, rescale depth (preproc.rs:1240-1352)."""
+    from ..bg import BgDistr
+    out = Path(args.output)
+    bg_out = paths.bg_dir(out)
+    rerun = Rerun.parse(args.rerun)
+    if not rerun.prepare_dir(bg_out):
+        logger.info("Preprocessing already done, skipping")
+        return 0
+    bg = BgDistr.load(paths.bg_dir(args.like) / paths.BG_DISTR)
+    new_reads, new_size = _count_input(args.input)
+    if bg.insert_distr.is_paired_end:
+        new_reads //= 2   # stored counts are read *pairs* for paired data
+    if bg.seq_info.total_reads:
+        rate = new_reads / bg.seq_info.total_reads
+        how = f"read count ratio {new_reads}/{bg.seq_info.total_reads}"
+    elif bg.seq_info.file_size:
+        rate = new_size / bg.seq_info.file_size
+        how = f"file size ratio {new_size}/{bg.seq_info.file_size}"
+    else:
+        raise SystemExit("--like sample stores neither read count nor file size")
+    logger.info("Rescaling depth by %.4f (%s)", rate, how)
+    if bg.depth is not None:
+        bg.depth.mul_depth(rate)
+    bg.seq_info.total_reads = new_reads
+    bg.seq_info.file_size = new_size
+    bg.save(bg_out / paths.BG_DISTR)
+    write_success(bg_out)
+    return 0
 
 
 def select_bg_region(genome: dict, spec: str | None, pad: int = 0):
@@ -56,6 +107,8 @@ def select_bg_region(genome: dict, spec: str | None, pad: int = 0):
 
 
 def run(args):
+    if args.like:
+        return run_like(args)
     out = Path(args.output)
     bg_dir = paths.bg_dir(out)
     rerun = Rerun.parse(args.rerun)
@@ -95,6 +148,9 @@ def run(args):
                 " (paired)" if reads2 else "")
 
     bg = estimate_bg_from_sim(reads1, reads2, region, counter, tech)
+    total_reads, total_size = _count_input(args.input)
+    bg.seq_info.total_reads = total_reads // (2 if reads2 else 1)
+    bg.seq_info.file_size = total_size
     bg.save(bg_dir / paths.BG_DISTR)
     write_success(bg_dir)
     bg_depth = bg.depth.depth_distribution(40)

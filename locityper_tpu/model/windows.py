@@ -130,7 +130,9 @@ class ContigInfoPack:
     @classmethod
     def pack(cls, infos: list[ContigInfo]) -> "ContigInfoPack":
         H = len(infos)
-        max_len = max(ci.contig_len for ci in infos)
+        # Bucket shapes (len to 1024-multiples, windows to 32-multiples) so
+        # solver compiles are shared across loci of similar size.
+        max_len = -(-max(ci.contig_len for ci in infos) // 1024) * 1024
         gc = np.zeros((H, max_len), np.int32)
         wt = np.zeros((H, max_len), np.float32)
         for h, ci in enumerate(infos):
@@ -138,7 +140,7 @@ class ContigInfoPack:
             wt[h, :ci.contig_len] = ci.weight_at
         return cls(
             n_haps=H, max_len=max_len,
-            max_windows=max(ci.n_windows for ci in infos),
+            max_windows=-(-max(ci.n_windows for ci in infos) // 32) * 32,
             n_windows=np.array([ci.n_windows for ci in infos], np.int32),
             reg_start=np.array([ci.reg_start for ci in infos], np.int32),
             contig_len=np.array([ci.contig_len for ci in infos], np.int32),

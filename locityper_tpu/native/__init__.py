@@ -1,0 +1,108 @@
+"""ctypes bindings for the native host kernels (kernels.cpp).
+
+The library is built on demand with `make` (g++); every entry point has a
+numpy fallback in pure Python modules, so the package works without a
+toolchain — the native path is a drop-in speedup for host-side parsing and
+k-mer work (counterpart of the reference's compiled Rust host runtime).
+"""
+from __future__ import annotations
+
+import ctypes
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+_DIR = Path(__file__).parent
+_LIB_PATH = _DIR / "libkernels.so"
+_lib = None
+_tried = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(["make", "-C", str(_DIR), "-s"], check=True,
+                       capture_output=True, timeout=120)
+        return _LIB_PATH.exists()
+    except Exception:
+        return False
+
+
+def get_lib():
+    """Returns the loaded library or None (fallback mode)."""
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not _LIB_PATH.exists() and not _build():
+        return None
+    try:
+        lib = ctypes.CDLL(str(_LIB_PATH))
+    except OSError:
+        return None
+
+    i8p = np.ctypeslib.ndpointer(np.int8, flags="C")
+    u8p = np.ctypeslib.ndpointer(np.uint8, flags="C")
+    u32p = np.ctypeslib.ndpointer(np.uint32, flags="C")
+    u64p = np.ctypeslib.ndpointer(np.uint64, flags="C")
+    i32p = np.ctypeslib.ndpointer(np.int32, flags="C")
+    i64p = np.ctypeslib.ndpointer(np.int64, flags="C")
+
+    lib.encode_dna.argtypes = [u8p, ctypes.c_int64, i8p]
+    lib.canonical_kmers.argtypes = [i8p, ctypes.c_int64, ctypes.c_int32,
+                                    u64p, u8p]
+    lib.minimizers32.argtypes = [i8p, ctypes.c_int64, ctypes.c_int32,
+                                 ctypes.c_int32, i64p, u32p, u8p]
+    lib.minimizers32.restype = ctypes.c_int64
+    lib.parse_fastq.argtypes = [u8p, ctypes.c_int64, ctypes.c_int32,
+                                ctypes.c_int64, i8p, i32p, i64p, i32p]
+    lib.parse_fastq.restype = ctypes.c_int64
+    lib.fastq_complete_prefix.argtypes = [u8p, ctypes.c_int64]
+    lib.fastq_complete_prefix.restype = ctypes.c_int64
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+def minimizers32(codes: np.ndarray, k: int, w: int):
+    """Native minimizers32; same contract as seq.kmers.minimizers32."""
+    lib = get_lib()
+    n = codes.size
+    cap = max(n, 1)
+    pos = np.empty(cap, np.int64)
+    hashes = np.empty(cap, np.uint32)
+    fwd = np.empty(cap, np.uint8)
+    cnt = lib.minimizers32(np.ascontiguousarray(codes), n, k, w, pos, hashes, fwd)
+    return pos[:cnt], hashes[:cnt], fwd[:cnt].astype(bool)
+
+
+def canonical_kmers(codes: np.ndarray, k: int):
+    lib = get_lib()
+    n = codes.size
+    m = max(n - k + 1, 0)
+    kmer = np.empty(m, np.uint64)
+    valid = np.empty(m, np.uint8)
+    if m:
+        lib.canonical_kmers(np.ascontiguousarray(codes), n, k, kmer, valid)
+    return kmer, valid.astype(bool)
+
+
+def parse_fastq_buffer(buf: bytes, max_len: int, max_reads: int):
+    """Parses a decompressed FASTQ buffer into ([N, max_len] codes, lens,
+    names).  Returns (codes, lens, names, bytes_consumed)."""
+    lib = get_lib()
+    arr = np.frombuffer(buf, np.uint8)
+    n = arr.size
+    codes = np.empty((max_reads, max_len), np.int8)
+    lens = np.empty(max_reads, np.int32)
+    name_off = np.empty(max_reads, np.int64)
+    name_len = np.empty(max_reads, np.int32)
+    cnt = lib.parse_fastq(arr, n, max_len, max_reads, codes.reshape(-1),
+                          lens, name_off, name_len)
+    names = [buf[name_off[i]:name_off[i] + name_len[i]].decode()
+             for i in range(cnt)]
+    consumed = lib.fastq_complete_prefix(arr, n)
+    return codes[:cnt], lens[:cnt], names, int(consumed)

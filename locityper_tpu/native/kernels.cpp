@@ -1,0 +1,205 @@
+// Native host kernels for locityper-tpu.
+//
+// The reference implements its host runtime in Rust (seq/kmers.rs scalar
+// rolling loops, fastx readers over htslib); this library provides the
+// C++ equivalents behind a C ABI consumed via ctypes
+// (locityper_tpu/native/__init__.py), with identical semantics to the numpy
+// fallbacks in seq/kmers.py — parity is enforced by tests/test_native.py.
+//
+// Build: make -C locityper_tpu/native   (g++ -O3 -shared -fPIC)
+
+#include <cstdint>
+#include <cstring>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// DNA encoding: byte -> code (A=0 C=1 G=2 T=3, other=4).
+// ---------------------------------------------------------------------------
+static int8_t ENC[256];
+static bool enc_init = false;
+
+static void init_enc() {
+    if (enc_init) return;
+    memset(ENC, 4, sizeof(ENC));
+    ENC[(unsigned char)'A'] = 0; ENC[(unsigned char)'a'] = 0;
+    ENC[(unsigned char)'C'] = 1; ENC[(unsigned char)'c'] = 1;
+    ENC[(unsigned char)'G'] = 2; ENC[(unsigned char)'g'] = 2;
+    ENC[(unsigned char)'T'] = 3; ENC[(unsigned char)'t'] = 3;
+    enc_init = true;
+}
+
+void encode_dna(const uint8_t* seq, int64_t n, int8_t* out) {
+    init_enc();
+    for (int64_t i = 0; i < n; i++) out[i] = ENC[seq[i]];
+}
+
+// ---------------------------------------------------------------------------
+// Canonical k-mers (seq/kmers.py canonical_kmers): out_kmer[i] = canonical
+// 2-bit packed k-mer at position i (UINT64_MAX when any base invalid),
+// out_valid[i] in {0,1}.  k <= 31.
+// ---------------------------------------------------------------------------
+void canonical_kmers(const int8_t* codes, int64_t n, int32_t k,
+                     uint64_t* out_kmer, uint8_t* out_valid) {
+    const uint64_t UNDEF = ~0ULL;
+    const int64_t m = n - k + 1;
+    if (m <= 0) return;
+    const uint64_t mask = (k == 32) ? ~0ULL : ((1ULL << (2 * k)) - 1);
+    const int rv_shift = 2 * (k - 1);
+    uint64_t fw = 0, rv = 0;
+    int64_t since_invalid = 0;  // consecutive valid bases ending at i
+    for (int64_t i = 0; i < n; i++) {
+        int8_t c = codes[i];
+        if (c < 4) {
+            fw = ((fw << 2) | (uint64_t)c) & mask;
+            rv = (rv >> 2) | ((uint64_t)(3 - c) << rv_shift);
+            since_invalid++;
+        } else {
+            fw = 0; rv = 0; since_invalid = 0;
+        }
+        int64_t pos = i - k + 1;
+        if (pos >= 0) {
+            if (since_invalid >= k) {
+                out_kmer[pos] = fw <= rv ? fw : rv;
+                out_valid[pos] = 1;
+            } else {
+                out_kmer[pos] = UNDEF;
+                out_valid[pos] = 0;
+            }
+        }
+    }
+}
+
+// ---------------------------------------------------------------------------
+// 32-bit minimizers (seq/kmers.py minimizers32): canonical k-mer (k <= 16)
+// -> murmur3 mix -> first-argmin per w-window, deduplicated by position.
+// Returns the number of minimizers written.
+// ---------------------------------------------------------------------------
+static inline uint32_t murmur3_mix32(uint32_t x) {
+    x = ~x;
+    x ^= x >> 16;
+    x *= 0x85EBCA6Bu;
+    x ^= x >> 13;
+    return x;
+}
+
+int64_t minimizers32(const int8_t* codes, int64_t n, int32_t k, int32_t w,
+                     int64_t* out_pos, uint32_t* out_hash, uint8_t* out_fwd) {
+    const uint32_t UNDEF = 0xFFFFFFFFu;
+    const int64_t m = n - k + 1;
+    if (m < w) return 0;
+
+    // Rolling hash buffer (ring of size >= w).
+    const int64_t RING = 64;  // w < 64 always
+    uint32_t hash_ring[RING];
+    uint8_t fwd_ring[RING];
+
+    const uint32_t mask = (uint32_t)((1ULL << (2 * k)) - 1);
+    const int rv_shift = 2 * (k - 1);
+    uint32_t fw = 0, rv = 0;
+    int64_t since_invalid = 0;
+    int64_t count = 0;
+    int64_t last_out = -1;
+
+    // Fill hashes incrementally; emit window results once i >= k-1+w-1.
+    for (int64_t i = 0; i < n; i++) {
+        int8_t c = codes[i];
+        if (c < 4) {
+            fw = ((fw << 2) | (uint32_t)c) & mask;
+            rv = (rv >> 2) | ((uint32_t)(3 - c) << rv_shift);
+            since_invalid++;
+        } else {
+            fw = 0; rv = 0; since_invalid = 0;
+        }
+        int64_t pos = i - k + 1;
+        if (pos < 0) continue;
+        bool valid = since_invalid >= k;
+        bool is_fw = fw <= rv;
+        uint32_t kmer = is_fw ? fw : rv;
+        hash_ring[pos % RING] = valid ? murmur3_mix32(kmer) : UNDEF;
+        fwd_ring[pos % RING] = is_fw ? 1 : 0;
+
+        int64_t win_start = pos - w + 1;
+        if (win_start < 0) continue;
+        // First-argmin over [win_start, pos].
+        uint32_t best = UNDEF;
+        int64_t best_p = -1;
+        for (int64_t p = win_start; p <= pos; p++) {
+            uint32_t h = hash_ring[p % RING];
+            if (h < best) { best = h; best_p = p; }
+        }
+        if (best == UNDEF) continue;
+        if (best_p > last_out) {
+            out_pos[count] = best_p;
+            out_hash[count] = best;
+            out_fwd[count] = fwd_ring[best_p % RING];
+            count++;
+            last_out = best_p;
+        }
+    }
+    return count;
+}
+
+// ---------------------------------------------------------------------------
+// FASTQ chunk parser: splits a decompressed FASTQ text buffer into encoded
+// reads.  Records must be complete 4-line records.  Returns #reads parsed;
+// out_codes is a flat buffer (each read padded to max_len with 4s),
+// out_lens the true lengths, out_name_off/out_name_len index into buf.
+// ---------------------------------------------------------------------------
+int64_t parse_fastq(const uint8_t* buf, int64_t n, int32_t max_len,
+                    int64_t max_reads, int8_t* out_codes, int32_t* out_lens,
+                    int64_t* out_name_off, int32_t* out_name_len) {
+    init_enc();
+    int64_t i = 0, r = 0;
+    while (i < n && r < max_reads) {
+        if (buf[i] != '@') break;
+        int64_t name_start = i + 1;
+        while (i < n && buf[i] != '\n') i++;
+        if (i >= n) break;
+        int64_t name_end = name_start;
+        while (name_end < n && buf[name_end] != ' ' && buf[name_end] != '\n'
+               && buf[name_end] != '\t') name_end++;
+        i++;  // skip newline
+        int64_t seq_start = i;
+        while (i < n && buf[i] != '\n') i++;
+        if (i >= n) break;
+        int64_t seq_len = i - seq_start;
+        i++;
+        if (i >= n || buf[i] != '+') break;
+        while (i < n && buf[i] != '\n') i++;
+        if (i >= n) break;
+        i++;
+        int64_t qual_start = i;
+        while (i < n && buf[i] != '\n') i++;
+        if (i - qual_start != seq_len) break;  // malformed
+        if (i < n) i++;
+
+        int32_t L = seq_len < max_len ? (int32_t)seq_len : max_len;
+        int8_t* dst = out_codes + r * (int64_t)max_len;
+        for (int32_t j = 0; j < L; j++) dst[j] = ENC[buf[seq_start + j]];
+        for (int32_t j = L; j < max_len; j++) dst[j] = 4;
+        out_lens[r] = L;
+        out_name_off[r] = name_start;
+        out_name_len[r] = (int32_t)(name_end - name_start);
+        r++;
+    }
+    return r;
+}
+
+// Bytes consumed by complete FASTQ records within buf[0..n) (for chunked IO).
+int64_t fastq_complete_prefix(const uint8_t* buf, int64_t n) {
+    int64_t i = 0, last_complete = 0;
+    while (i < n) {
+        int64_t start = i;
+        int nl = 0;
+        while (i < n && nl < 4) {
+            if (buf[i] == '\n') nl++;
+            i++;
+        }
+        if (nl == 4) last_complete = i;
+        else { i = start; break; }
+    }
+    return last_complete;
+}
+
+}  // extern "C"

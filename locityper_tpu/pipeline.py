@@ -33,7 +33,8 @@ class LocusData:
 def genotype_locus(locus: LocusData, read_pairs, names, bg: BgDistr,
                    params: Params | None = None, scheme: Scheme | None = None,
                    seed: int = 1, ploidy: int = 2, tag: str | None = None,
-                   priors: dict | None = None) -> tuple[Genotyping, dict]:
+                   priors: dict | None = None,
+                   sam_dir=None) -> tuple[Genotyping, dict]:
     """Genotypes one locus from recruited reads.
 
     read_pairs: list of (codes1, codes2 | None).
@@ -82,14 +83,32 @@ def genotype_locus(locus: LocusData, read_pairs, names, bg: BgDistr,
                          scheme, key, tag=tag, dist_matrix=locus.dist_matrix)
     # Unexplained reads (solve.rs:706-716).
     best_gt = result.genotypes[0]
+    n_real = tensors.n_reads
     best_per_read = np.maximum(
-        tensors.hap_prob[best_gt[0]].max(axis=1),
-        tensors.hap_prob[best_gt[1]].max(axis=1))
+        tensors.hap_prob[best_gt[0], :n_real].max(axis=1),
+        tensors.hap_prob[best_gt[1], :n_real].max(axis=1))
     result.unexpl_reads = int(np.sum(best_per_read <
-                                     tensors.unmapped_prob + 1e-8))
+                                     tensors.unmapped_prob[:n_real] + 1e-8))
     if result.ln_probs.size and (np.isnan(result.ln_probs[0])
                                  or result.ln_probs[0] < -2.0 * np.log(10.0)):
         result.warnings.append("NoProbableGenotype")
+
+    if sam_dir is not None and params.out_bams > 0:
+        from .model.sam import write_sam
+        from pathlib import Path
+        Path(sam_dir).mkdir(parents=True, exist_ok=True)
+        hap_names = locus.contig_set.contigs.names
+        hap_lens = [s.size for s in locus.contig_set.seqs]
+        read_names = [ra.name for ra in all_alns.reads]
+        weights = [ra.weight for ra in all_alns.reads]
+        for i, (gt, pred) in enumerate(zip(result.genotypes,
+                                           result.predictions)):
+            if i >= params.out_bams or pred.assignments is None:
+                break
+            write_sam(Path(sam_dir) / f"{i:02d}.sam.gz", tuple(gt), tensors,
+                      hap_names, hap_lens, read_names,
+                      pred.assignments[:, :len(read_names)],
+                      read_weights=weights)
     return result, stats
 
 

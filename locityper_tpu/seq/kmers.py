@@ -133,9 +133,15 @@ def murmur3_mix32(x: np.ndarray) -> np.ndarray:
 def minimizers32(seq, k: int, w: int):
     """Like `minimizers` but in the 32-bit hash space (k ≤ 16).  Both the
     recruitment index build and the read scan use this function (host) or its
-    device twin (ops/recruit.py), so matching is self-consistent."""
+    device twin (ops/recruit.py), so matching is self-consistent.
+
+    Dispatches to the native C++ kernel when built (exact-parity contract,
+    tests/test_native.py)."""
     assert k <= 16
     codes = seq if isinstance(seq, np.ndarray) else encode(seq)
+    from .. import native
+    if native.available():
+        return native.minimizers32(codes, k, w)
     fw, rv, valid = _rolling_kmers_codes(codes, k)
     is_fw = fw <= rv
     kmer = np.where(is_fw, fw, rv).astype(np.uint32)

@@ -261,8 +261,9 @@ def solve_locus(tensors: LocusTensors, pack: ContigInfoPack, bg_distr,
     bayes = build_bayes_table(bg_distr.depth.distributions, list(params.alt_cn),
                               mul_coef)
     # Stage-0 filter on pure alignment likelihood.
-    best_aln = np.maximum(tensors.hap_prob.max(axis=2),
-                          tensors.unmapped_prob[None, :])       # [H, R]
+    n_real = tensors.n_reads
+    best_aln = np.maximum(tensors.hap_prob[:, :n_real].max(axis=2),
+                          tensors.unmapped_prob[None, :n_real])  # [H, R]
     ixs = run_filter(genotypes, priors, best_aln, params.filt_diff,
                      scheme.stages[0].in_size)
 
@@ -287,13 +288,16 @@ def solve_locus(tensors: LocusTensors, pack: ContigInfoPack, bg_distr,
         random_init = stage.kind == "anneal"
         for s in range(0, ixs.size, gt_batch):
             chunk = ixs[s:s + gt_batch]
-            pad = 0
+            # Pad genotype chunks to power-of-two buckets (min 16) so the
+            # kernel compiles once per bucket regardless of panel size.
+            target = 16
+            while target < chunk.size:
+                target *= 2
+            pad = target - chunk.size
             gts = genotypes[chunk]
-            if chunk.size < min(gt_batch, ixs.size):
-                # Pad to a stable shape to avoid recompilation.
-                pad = min(gt_batch, ixs.size) - chunk.size
+            if pad:
                 gts = np.concatenate([gts, np.repeat(gts[-1:], pad, 0)])
-            liks, _ = solve_genotypes(
+            liks, assgns = solve_genotypes(
                 jax.random.fold_in(key, s_ix * 100003 + s), gts,
                 tensors.hap_prob, tensors.hap_mid, tensors.unmapped_prob,
                 pack.n_windows, pack.reg_start, pack.contig_len,
@@ -301,12 +305,17 @@ def solve_locus(tensors: LocusTensors, pack: ContigInfoPack, bg_distr,
                 n_attempts=stage.attempts, max_windows=pack.max_windows,
                 random_init=random_init)
             liks = np.asarray(liks, dtype=np.float64)
+            final_stage = out_size is None
+            if final_stage:
+                assgns = np.asarray(assgns)
             if pad:
                 liks = liks[:chunk.size]
-            for row, ix in zip(liks, chunk.tolist()):
+            for gi, (row, ix) in enumerate(zip(liks, chunk.tolist())):
                 row = row + priors[ix]
                 mean, var = mathx.mean_variance(row)
-                predictions[ix] = Prediction(mean, var, stage.attempts)
+                predictions[ix] = Prediction(
+                    mean, var, stage.attempts,
+                    assignments=assgns[gi] if final_stage else None)
         dt = time.monotonic() - t0
         logger.info("    Stage %d (%s): %d genotypes x %d attempts in %.2fs "
                     "(%.4f s/gt)", s_ix + 1, stage.kind, ixs.size,

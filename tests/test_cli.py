@@ -194,3 +194,39 @@ class TestPafVcf:
         assert snv[1] == "6" and snv[3] == "C" and snv[4] == "T"
         dele = lines[1].split("\t")
         assert dele[1] == "10" and len(dele[3]) == 3 and len(dele[4]) == 1
+
+
+class TestOutSams:
+    def test_sam_written(self, world, db, prep, tmp_path):
+        out = tmp_path / "outsam"
+        rc = cli.main([
+            "genotype", "-i", str(world["r1"]), str(world["r2"]),
+            "-d", str(db), "-p", str(prep), "-o", str(out),
+            "-S", "greedy:i=5k,a=1", "anneal:i=4,a=4,n=1000,p=500",
+            "--out-sams", "1", "--seed", "5"])
+        assert rc == 0
+        sam = out / "loci" / "GENE1" / "alns" / "00.sam.gz"
+        assert sam.exists()
+        import gzip as _gz
+        lines = _gz.open(sam, "rt").read().splitlines()
+        assert lines[0].startswith("@HD")
+        body = [l for l in lines if not l.startswith("@")]
+        assert len(body) > 100
+        mapped = [l for l in body if int(l.split("\t")[1]) & 4 == 0]
+        assert len(mapped) / len(body) > 0.8
+
+
+class TestPreprocLike:
+    def test_like_rescales_depth(self, world, prep, tmp_path):
+        from locityper_tpu.bg import BgDistr
+        out = tmp_path / "sample2"
+        rc = cli.main(["preproc", "-i", str(world["r1"]), str(world["r2"]),
+                       "-r", str(world["ref_fa"]), "-o", str(out),
+                       "--like", str(prep)])
+        assert rc == 0
+        bg0 = BgDistr.load(prep / "bg" / "distr.json.gz")
+        bg1 = BgDistr.load(out / "bg" / "distr.json.gz")
+        # Same input -> ratio 1.0 -> identical depth.
+        m0 = bg0.depth.depth_distribution(45).mean()
+        m1 = bg1.depth.depth_distribution(45).mean()
+        assert m1 == pytest.approx(m0, rel=1e-6)
