@@ -1,0 +1,89 @@
+"""Multi-locus panel genotyping: several loci recruited and solved from one
+read pool (the reference's primary production mode, genotype.rs:1278-1298)."""
+import numpy as np
+import pytest
+
+from locityper_tpu import sim
+from locityper_tpu.pipeline import LocusData, genotype_locus
+from locityper_tpu.seq.contigs import ContigSet
+from locityper_tpu.seq.counts import GenomeKmerCounter, off_target_counts
+from locityper_tpu.seq.recruit import RecruitParams, TargetIndex, recruit_read_pair
+from locityper_tpu.solvers.solve import Scheme
+
+import sys
+from pathlib import Path
+sys.path.insert(0, str(Path(__file__).parent))
+from test_pipeline import make_bg  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def panel():
+    rng = np.random.default_rng(55)
+    n_loci = 3
+    loci = [sim.simulate_locus(rng, f"G{i}", length=3000, n_haps=4,
+                               divergence=0.015) for i in range(n_loci)]
+    parts = [sim.random_genome(rng, 20000)]
+    for locus in loci:
+        parts.append(locus.haplotypes[0])
+        parts.append(sim.random_genome(rng, 20000))
+    genome = np.concatenate(parts)
+    counter = GenomeKmerCounter(25)
+    counter.add_seq(genome)
+    counter.finalize()
+    data = []
+    for locus in loci:
+        kc = off_target_counts(counter, locus.haplotypes, locus.haplotypes[0])
+        data.append(LocusData(ContigSet(locus.name, locus.hap_names,
+                                        locus.haplotypes), kc))
+    # One read pool from all true genotypes.
+    err = sim.ErrorModel(0.002, 0.0002, 0.0002)
+    all_r1, all_r2, all_names = [], [], []
+    for locus in loci:
+        reads = sim.simulate_paired_reads(
+            rng, [locus.haplotypes[i] for i in locus.true_genotype],
+            depth=14.0, errors=err, prefix=locus.name)
+        all_r1 += reads.reads1
+        all_r2 += reads.reads2
+        all_names += reads.names
+    return rng, loci, data, (all_r1, all_r2, all_names)
+
+
+def test_panel_recruitment_separates_loci(panel):
+    rng, loci, data, (r1, r2, names) = panel
+    idx = TargetIndex(RecruitParams(match_frac=0.5))
+    for d in data:
+        idx.add_locus(d.contig_set, d.kmer_counts)
+    idx.finalize()
+    correct = cross = miss = 0
+    for a, b, name in zip(r1[:300], r2[:300], names[:300]):
+        src = int(name[1])      # "G{i}..."
+        hits = recruit_read_pair(idx, a, b)
+        if src in hits:
+            correct += 1
+            cross += len(hits) - 1
+        else:
+            miss += 1
+    assert correct / 300 > 0.95
+    assert cross / 300 < 0.05
+
+
+def test_panel_genotyping(panel):
+    rng, loci, data, (r1, r2, names) = panel
+    idx = TargetIndex(RecruitParams(match_frac=0.5))
+    for d in data:
+        idx.add_locus(d.contig_set, d.kmer_counts)
+    idx.finalize()
+    per_locus = {i: ([], []) for i in range(len(loci))}
+    for a, b, name in zip(r1, r2, names):
+        for locus_ix in recruit_read_pair(idx, a, b):
+            per_locus[locus_ix][0].append((a, b))
+            per_locus[locus_ix][1].append(name)
+    bg = make_bg()
+    scheme = Scheme.parse(["greedy:i=5k,a=1", "anneal:i=6,a=6,n=2000,p=1000"])
+    for i, locus in enumerate(loci):
+        pairs, nm = per_locus[i]
+        result, _ = genotype_locus(data[i], pairs, nm, bg, scheme=scheme,
+                                   seed=100 + i, tag=locus.name)
+        called = tuple(sorted(int(x) for x in result.genotypes[0]))
+        assert called == locus.true_genotype, (
+            f"{locus.name}: called {called}, truth {locus.true_genotype}")
