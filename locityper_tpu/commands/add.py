@@ -29,8 +29,14 @@ def add_args(p):
     p.add_argument("-r", "--reference", required=True, help="Reference genome FASTA")
     p.add_argument("-l", "--loci", required=True,
                    help="BED file: chrom start end name")
-    p.add_argument("-s", "--seqs", required=True,
+    p.add_argument("-s", "--seqs", default=None,
                    help="Per-locus haplotype FASTA pattern with {} for locus name")
+    p.add_argument("-v", "--vcf", default=None,
+                   help="Pangenome VCF with phased sample genotypes: haplotypes "
+                        "are reconstructed from the reference + variants "
+                        "(panvcf.rs)")
+    p.add_argument("--leave-out", nargs="*", default=(),
+                   help="Samples to exclude from VCF haplotype extraction")
     p.add_argument("-k", "--kmer", type=int, default=25,
                    help="k-mer size for counts [%(default)s]")
     p.add_argument("--rerun", default="none", help="all/part/none")
@@ -121,9 +127,17 @@ def run(args):
             if not rerun.prepare_dir(ldir):
                 logger.info("[%s] already done, skipping", name)
                 continue
-            hap_file = args.seqs.replace("{}", name)
-            named = [(r.name, r.seq) for r in fastx.read_fastx_auto(hap_file)]
             target_seq = genome[chrom][start:end]
+            if args.vcf:
+                from ..seq.panvcf import haplotypes_from_vcf
+                named = haplotypes_from_vcf(args.vcf, target_seq, chrom,
+                                            start, end,
+                                            leave_out=args.leave_out)
+            elif args.seqs:
+                hap_file = args.seqs.replace("{}", name)
+                named = [(r.name, r.seq) for r in fastx.read_fastx_auto(hap_file)]
+            else:
+                raise SystemExit("Either --seqs or --vcf is required")
             build_locus(db, name, [n for n, _ in named], [s for _, s in named],
                         counter, target_seq, ref_interval=(chrom, start, end))
             n_done += 1
