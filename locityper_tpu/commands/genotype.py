@@ -87,9 +87,13 @@ def list_loci(db: Path) -> list[str]:
 
 
 def recruit_reads(loci: dict, read_iter, recruit_params: RecruitParams,
-                  subsample=None, seed=0):
+                  subsample=None, seed=0, batch=4096, use_device=True):
     """Recruits all reads against all loci at once (genotype.rs:931-975).
-    Returns {locus_name: (read_pairs, names)} and the recruitment speed."""
+
+    Paired short reads run through the device kernel in dense batches
+    (ops/recruit.py, bit-identical to the host engine); single-end and long
+    reads use the host path.  Returns {locus: (read_pairs, names)} and the
+    recruitment speed (reads/s)."""
     index = TargetIndex(recruit_params)
     order = list(loci)
     for name in order:
@@ -100,8 +104,43 @@ def recruit_reads(loci: dict, read_iter, recruit_params: RecruitParams,
     out = {name: ([], []) for name in order}
     progress = Progress(logger, "reads")
     rng = np.random.default_rng(seed)
+    dev = None
+
+    def flush(buf):
+        nonlocal dev
+        if not buf:
+            return
+        from ..ops.recruit import DeviceIndex, run_pairs
+        if dev is None:
+            dev = DeviceIndex.from_index(index)
+        L = max(max(c1.size, c2.size) for _, c1, c2 in buf)
+        L = -(-L // 64) * 64
+        B = batch  # fixed batch shape; short flushes are padded
+        m1 = np.full((B, L), 4, np.int8)
+        m2 = np.full((B, L), 4, np.int8)
+        for i, (_, c1, c2) in enumerate(buf):
+            m1[i, :c1.size] = c1[:L]
+            m2[i, :c2.size] = c2[:L]
+        hits = run_pairs(dev, m1, m2)
+        n_rec = 0
+        for i, (name, c1, c2) in enumerate(buf):
+            row = np.nonzero(hits[i])[0]
+            for locus_ix in row:
+                pairs, names = out[order[locus_ix]]
+                pairs.append((c1, c2))
+                names.append(name)
+            n_rec += int(row.size > 0)
+        progress.add(len(buf), n_rec)
+        buf.clear()
+
+    buf = []
     for name, c1, c2 in read_iter:
         if subsample is not None and rng.random() >= subsample:
+            continue
+        if use_device and c2 is not None and c1.size <= 500 and c2.size <= 500:
+            buf.append((name, c1, c2))
+            if len(buf) >= batch:
+                flush(buf)
             continue
         hit = recruit_any(index, c1, c2)
         for locus_ix in hit:
@@ -109,6 +148,7 @@ def recruit_reads(loci: dict, read_iter, recruit_params: RecruitParams,
             pairs.append((c1, c2))
             names.append(name)
         progress.add(1, int(bool(hit)))
+    flush(buf)
     speed = progress.final()
     return out, speed
 
