@@ -48,22 +48,35 @@ def main():
                                         L + band)[0]
         return jax.device_put(reads), jax.device_put(lens), jax.device_put(wins)
 
-    # Distinct input sets cycled across iterations so no caching layer can
-    # skip the work; all device_put up front to exclude H2D transfer.
-    inputs = [make_inputs() for _ in range(4)]
-    res = A.align_batch(*inputs[0], score_vec, band=band)   # compile
-    jax.block_until_ready(res)
+    # Kernel choice: Pallas (VMEM-resident DP state) with XLA fallback.
+    try:
+        from locityper_tpu.ops.align_pallas import align_batch_pallas
 
-    iters = 24
+        def run(r, l, w):
+            return align_batch_pallas(r, l, w, score_vec, band=band, tile=128)
+        kernel = "pallas"
+    except Exception:
+        def run(r, l, w):
+            return A.align_batch(r, l, w, score_vec, band=band)
+        kernel = "xla"
+
+    # Distinct input sets cycled across iterations so no caching layer can
+    # skip the work; device_put up front to exclude H2D.  Every iteration
+    # fetches a result to host: on async/relay backends, block_until_ready
+    # alone underestimates wildly (dispatch returns before execution).
+    inputs = [make_inputs() for _ in range(2)]
+    _ = float(np.asarray(run(*inputs[0])["score"]).sum())   # compile + run
+
+    iters = 16
     t0 = time.perf_counter()
-    outs = []
+    acc = 0.0
     for it in range(iters):
         r, l, w = inputs[it % len(inputs)]
-        outs.append(A.align_batch(r, l, w, score_vec, band=band)["score"])
-    jax.block_until_ready(outs)
+        acc += float(np.asarray(run(r, l, w)["score"]).sum())
     dt = time.perf_counter() - t0
     reads_per_sec = iters * batch / dt
-    res = A.align_batch(*inputs[0], score_vec, band=band)
+    print(f"kernel={kernel} acc={acc:.1f}", file=sys.stderr)
+    res = run(*inputs[0])
 
     n_mism = np.asarray(res["n_mism"])
     print(f"devices={jax.devices()} batch={batch} L={L} band={band} "

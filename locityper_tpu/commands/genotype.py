@@ -43,6 +43,8 @@ def add_args(p):
     p.add_argument("--seed", type=int, default=1)
     p.add_argument("--subsample", type=float, default=None,
                    help="Recruit this fraction of reads")
+    p.add_argument("--debug", action="store_true",
+                   help="Write per-stage solution scores (sol.csv.gz)")
     p.add_argument("--out-sams", type=int, default=0,
                    help="Write read assignments for this many best genotypes "
                         "as SAM files under <locus>/alns/")
@@ -213,7 +215,8 @@ def run(args):
                 loci[name], pairs, names, bg, params=params, scheme=scheme,
                 seed=args.seed + li, tag=name, ploidy=args.ploidy,
                 priors=locus_priors,
-                sam_dir=(ldir / paths.ALNS_OUT_DIR) if args.out_sams else None)
+                sam_dir=(ldir / paths.ALNS_OUT_DIR) if args.out_sams else None,
+                sol_path=(ldir / paths.SOL_CSV) if args.debug else None)
         except Exception:
             logger.exception("[%s] genotyping failed", name)
             failures += 1

@@ -243,7 +243,7 @@ def _align_candidates(mates, cand_lists, contig_set, score_vec, band, batch=2048
             win_starts[i] = ws
             wins[i] = A.extract_windows(contig_set.seqs[hp], np.array([ws]),
                                         L + band)[0]
-        res = A.align_batch(reads, lens, wins, score_vec, band=band)
+        res = A.align_batch_auto(reads, lens, wins, score_vec, band=band)
         res = {k: np.asarray(v) for k, v in res.items()}
         edit, _ = A.edit_and_matches(res, lens)
         for i, (m_ix, hp, orient, diag) in enumerate(chunk):

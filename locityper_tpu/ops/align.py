@@ -192,6 +192,18 @@ def align_batch(reads, rlens, hap_wins, score_vec, band: int = 48):
         reads, rlens, hap_wins)
 
 
+def align_batch_auto(reads, rlens, hap_wins, score_vec, band: int = 48):
+    """Backend dispatch: the Pallas kernel on TPU (12× faster, exact parity
+    — see ops/align_pallas.py), the XLA kernel on CPU (Mosaic needs TPU).
+    Requires the batch to be a multiple of 128 on the TPU path (the model
+    layer buckets batches to powers of two ≥ 256)."""
+    if jax.default_backend() != "cpu" and reads.shape[0] % 128 == 0:
+        from .align_pallas import align_batch_pallas
+        return align_batch_pallas(reads, rlens, hap_wins, score_vec,
+                                  band=band, tile=128)
+    return align_batch(reads, rlens, hap_wins, score_vec, band=band)
+
+
 # ---------------------------------------------------------------------------
 # Host-side helpers: candidate windows and batched invocation.
 # ---------------------------------------------------------------------------

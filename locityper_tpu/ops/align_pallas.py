@@ -1,0 +1,203 @@
+"""Pallas TPU kernel for banded ML alignment.
+
+Same contract as ops/align.align_batch (same scores, payloads, results —
+parity enforced by tests/test_align_pallas.py), but implemented as a single
+Pallas kernel: the whole DP state stays in VMEM across the row loop,
+eliminating the per-row HBM round-trips that cap the XLA lax.scan version
+at ~10k reads/s/chip.
+
+Layout (guide: /opt/skills/guides/pallas_guide.md): arrays are TRANSPOSED —
+band offsets on the sublane axis, reads on the lane axis — because Mosaic
+only allows dynamic slicing with arbitrary offsets on the second-minor
+(sublane) dimension; per-row read/haplotype character loads are sublane
+slices of [L, TB] / [L+band, TB] buffers.
+
+  grid = (B / TB,); each program aligns TB = 128 reads (one lane row).
+  State: [band, TB] f32 score + int32 payload registers in VMEM/vregs.
+  Deletion max-plus prefix scan: log2(band) doubling (roll, compare,
+  select) steps on the sublane axis.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG = -1e30
+
+
+def _roll_sub(x, shift):
+    """Roll along the sublane (first) axis; negative = upward."""
+    n = x.shape[0]
+    return pltpu.roll(x, shift % n, axis=0)
+
+
+def _kernel(scores_ref, reads_ref, lens_ref, wins_ref,
+            score_out, mism_out, ins_out, del_out, clip_out, sp_out, ep_out,
+            *, band: int, L: int):
+    TB = reads_ref.shape[1]
+    m_sc = scores_ref[0]
+    x_sc = scores_ref[1]
+    i_sc = scores_ref[2]
+    d_sc = scores_ref[3]
+    c_sc = scores_ref[4]
+
+    j_idx = jax.lax.broadcasted_iota(jnp.int32, (band, TB), 0)
+    j_f = j_idx.astype(jnp.float32)
+    lens = lens_ref[:]                                   # [1, TB] int32
+    lens_f = lens.astype(jnp.float32)
+
+    prev = jnp.zeros((band, TB), jnp.float32)
+    z = jnp.zeros((band, TB), jnp.int32)
+    state = dict(
+        prev=prev, n_mism=z, n_ins=z, n_del=z, n_clip=z, start_p=j_idx,
+        best_s=jnp.full((1, TB), NEG, jnp.float32),
+        best_mism=jnp.zeros((1, TB), jnp.int32),
+        best_ins=jnp.zeros((1, TB), jnp.int32),
+        best_del=jnp.zeros((1, TB), jnp.int32),
+        best_clip=jnp.zeros((1, TB), jnp.int32),
+        best_sp=jnp.zeros((1, TB), jnp.int32),
+        best_ep=jnp.zeros((1, TB), jnp.int32),
+    )
+
+    def row(i, st):
+        # Row i consumes read char r[i-1] against hap cols [i-1, i-1+band).
+        r_c = reads_ref[pl.ds(i - 1, 1), :]              # [1, TB]
+        h_c = wins_ref[pl.ds(i - 1, band), :]            # [band, TB]
+        h_valid = h_c < 4
+        sub = jnp.where(r_c == h_c, m_sc, x_sc)
+        sub = jnp.where(h_valid & (r_c < 4), sub, NEG)
+        is_mism = (r_c != h_c).astype(jnp.int32)
+
+        prev = st["prev"]
+        diag_s = prev + sub
+        d_mism = st["n_mism"] + is_mism
+
+        last = j_idx == band - 1
+        ins_s = jnp.where(last, NEG, _roll_sub(prev, -1) + i_sc)
+        i_mism = _roll_sub(st["n_mism"], -1)
+        i_ins = _roll_sub(st["n_ins"], -1) + 1
+        i_del = _roll_sub(st["n_del"], -1)
+        i_clip = _roll_sub(st["n_clip"], -1)
+        i_sp = _roll_sub(st["start_p"], -1)
+
+        i_f = i.astype(jnp.float32)
+        clip_s = jnp.full((band, TB), 1.0, jnp.float32) * (c_sc * i_f)
+
+        take_i = ins_s > diag_s
+        base_s = jnp.where(take_i, ins_s, diag_s)
+        b_mism = jnp.where(take_i, i_mism, d_mism)
+        b_ins = jnp.where(take_i, i_ins, st["n_ins"])
+        b_del = jnp.where(take_i, i_del, st["n_del"])
+        b_clip = jnp.where(take_i, i_clip, st["n_clip"])
+        b_sp = jnp.where(take_i, i_sp, st["start_p"])
+        take_c = clip_s > base_s
+        base_s = jnp.where(take_c, clip_s, base_s)
+        zero = jnp.zeros((band, TB), jnp.int32)
+        b_mism = jnp.where(take_c, zero, b_mism)
+        b_ins = jnp.where(take_c, zero, b_ins)
+        b_del = jnp.where(take_c, zero, b_del)
+        b_clip = jnp.where(take_c, i, b_clip)
+        b_sp = jnp.where(take_c, i + j_idx, b_sp)
+
+        # Deletion max-plus prefix scan (doubling, with origin + payloads).
+        adj = base_s - j_f * d_sc
+        orig = j_idx
+        p_mism, p_ins, p_del, p_clip, p_sp = b_mism, b_ins, b_del, b_clip, b_sp
+        s = 1
+        while s < band:
+            sh_adj = jnp.where(j_idx < s, NEG, _roll_sub(adj, s))
+            take = sh_adj > adj
+            adj = jnp.where(take, sh_adj, adj)
+            orig = jnp.where(take, _roll_sub(orig, s), orig)
+            p_mism = jnp.where(take, _roll_sub(p_mism, s), p_mism)
+            p_ins = jnp.where(take, _roll_sub(p_ins, s), p_ins)
+            p_del = jnp.where(take, _roll_sub(p_del, s), p_del)
+            p_clip = jnp.where(take, _roll_sub(p_clip, s), p_clip)
+            p_sp = jnp.where(take, _roll_sub(p_sp, s), p_sp)
+            s *= 2
+        no_del = orig == j_idx
+        # Exact restore when no deletion taken (f32 cancellation guard).
+        row_s = jnp.where(no_del, base_s, adj + j_f * d_sc)
+        r_mism, r_ins, r_clip, r_sp = p_mism, p_ins, p_clip, p_sp
+        r_del = p_del + (j_idx - orig)
+
+        # End fold: remaining read clipped.
+        active = i <= lens                                # [1, TB]
+        end_bonus = jnp.where(active, (lens_f - i_f) * c_sc, NEG)
+        cand = row_s + end_bonus
+        cand_max = jnp.max(cand, axis=0, keepdims=True)   # [1, TB]
+        is_best = cand == cand_max
+        key = jnp.where(is_best, band - j_idx, 0)
+        pickm = (key == jnp.max(key, axis=0, keepdims=True)) & is_best
+
+        def sel(p):
+            return jnp.sum(jnp.where(pickm, p, 0), axis=0, keepdims=True)
+
+        better = cand_max > st["best_s"]
+        st_new = dict(st)
+        st_new["best_s"] = jnp.where(better, cand_max, st["best_s"])
+        st_new["best_mism"] = jnp.where(better, sel(r_mism), st["best_mism"])
+        st_new["best_ins"] = jnp.where(better, sel(r_ins), st["best_ins"])
+        st_new["best_del"] = jnp.where(better, sel(r_del), st["best_del"])
+        st_new["best_clip"] = jnp.where(better, sel(r_clip) + (lens - i),
+                                        st["best_clip"])
+        st_new["best_sp"] = jnp.where(better, sel(r_sp), st["best_sp"])
+        st_new["best_ep"] = jnp.where(better, sel(i + j_idx), st["best_ep"])
+
+        st_new["prev"] = jnp.where(active, row_s, NEG)
+        st_new["n_mism"] = r_mism
+        st_new["n_ins"] = r_ins
+        st_new["n_del"] = r_del
+        st_new["n_clip"] = r_clip
+        st_new["start_p"] = r_sp
+        return st_new
+
+    state = jax.lax.fori_loop(1, L + 1, row, state)
+    score_out[:] = state["best_s"]
+    mism_out[:] = state["best_mism"]
+    ins_out[:] = state["best_ins"]
+    del_out[:] = state["best_del"]
+    clip_out[:] = state["best_clip"]
+    sp_out[:] = state["best_sp"]
+    ep_out[:] = state["best_ep"]
+
+
+@functools.partial(jax.jit, static_argnames=("band", "tile"))
+def align_batch_pallas(reads, rlens, hap_wins, score_vec, band: int = 48,
+                       tile: int = 128):
+    """Drop-in replacement for ops.align.align_batch (same outputs)."""
+    B, L = reads.shape
+    assert B % tile == 0, f"batch {B} must be a multiple of tile {tile}"
+    # Transposed layouts: [L, B] and [L+band, B].
+    r32 = reads.astype(jnp.int32).T
+    w32 = hap_wins.astype(jnp.int32).T
+    lens2 = rlens.astype(jnp.int32)[None, :]
+
+    kernel = functools.partial(_kernel, band=band, L=L)
+    grid = (B // tile,)
+    out_shapes = [jax.ShapeDtypeStruct((1, B), jnp.float32)] + \
+        [jax.ShapeDtypeStruct((1, B), jnp.int32)] * 6
+    out_specs = [pl.BlockSpec((1, tile), lambda i: (0, i),
+                              memory_space=pltpu.VMEM)] * 7
+    res = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((5,), lambda i: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((L, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((L + band, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+    )(score_vec.astype(jnp.float32), r32, lens2, w32)
+    score, mism, ins, dele, clip, sp, ep = res
+    return dict(score=score[0], n_mism=mism[0], n_ins=ins[0],
+                n_del=dele[0], n_clip=clip[0], start_p=sp[0],
+                end_p=ep[0], valid=score[0] > NEG / 2)

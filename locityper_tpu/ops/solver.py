@@ -48,6 +48,10 @@ class SolverConfig:
     tweak: int = 50
     window_size: int = 100
     greedy_start_best: bool = True     # polish-only chains start from best
+    # Batched-move solver (ops/solver_batched.py): cooling super-steps and
+    # per-step acceptance thinning.
+    anneal_steps_b: int = 500
+    move_thin: float = 0.3
 
 
 def _gather_candidates(hap_prob, hap_mid, unmapped_prob, gt, prob_diff):

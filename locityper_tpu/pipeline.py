@@ -34,7 +34,7 @@ def genotype_locus(locus: LocusData, read_pairs, names, bg: BgDistr,
                    params: Params | None = None, scheme: Scheme | None = None,
                    seed: int = 1, ploidy: int = 2, tag: str | None = None,
                    priors: dict | None = None,
-                   sam_dir=None) -> tuple[Genotyping, dict]:
+                   sam_dir=None, sol_path=None) -> tuple[Genotyping, dict]:
     """Genotypes one locus from recruited reads.
 
     read_pairs: list of (codes1, codes2 | None).
@@ -79,8 +79,22 @@ def genotype_locus(locus: LocusData, read_pairs, names, bg: BgDistr,
 
     scheme = scheme or Scheme.default()
     key = jax.random.PRNGKey(seed)
-    result = solve_locus(tensors, pack, bg, genotypes, prior_vec, params,
-                         scheme, key, tag=tag, dist_matrix=locus.dist_matrix)
+    sol_writer = None
+    gt_names = None
+    if sol_path is not None:
+        from .utils.io import smart_create
+        sol_writer = smart_create(sol_path)
+        sol_writer.write("stage\tgenotype\tscore\n")
+        hnames = locus.contig_set.contigs.names
+        gt_names = [",".join(hnames[h] for h in g.ids) for g in gts]
+    try:
+        result = solve_locus(tensors, pack, bg, genotypes, prior_vec, params,
+                             scheme, key, tag=tag,
+                             dist_matrix=locus.dist_matrix,
+                             sol_writer=sol_writer, gt_names=gt_names)
+    finally:
+        if sol_writer is not None:
+            sol_writer.close()
     # Unexplained reads (solve.rs:706-716).
     best_gt = result.genotypes[0]
     n_real = tensors.n_reads

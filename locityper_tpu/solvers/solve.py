@@ -40,12 +40,21 @@ def _parse_size(s: str) -> int:
 
 @dataclass
 class Stage:
-    """One solver stage (solve.rs:138-203): SOLVER[:param=value,...]."""
+    """One solver stage (solve.rs:138-203): SOLVER[:param=value,...].
+
+    engine "batched" (default) runs the TPU-native batched-move solver
+    (ops/solver_batched.py, ~R moves per super-step); "seq" runs the
+    sequential chain (ops/solver.py, one move per step, reference
+    semantics).  Both provably reach the ILP optimum (tests/test_ilp.py).
+    """
     kind: str                    # "greedy" | "anneal"
     in_size: int = 1000
     attempts: int = 20
     anneal_steps: int = 20000
     polish_steps: int = 10000
+    engine: str = "batched"
+    batched_steps: int = 1000
+    batched_anneal: int = 500
 
     @classmethod
     def parse(cls, s: str) -> "Stage":
@@ -69,8 +78,15 @@ class Stage:
                     st.anneal_steps = _parse_size(v)
                 elif k in ("p", "plato"):
                     st.polish_steps = _parse_size(v)
+                elif k in ("e", "engine"):
+                    st.engine = v.strip()
+                elif k in ("b", "bsteps"):
+                    st.batched_steps = _parse_size(v)
                 else:
                     logger.warning("Unknown stage parameter %r", k)
+        if st.kind == "greedy":
+            st.batched_anneal = 0
+            st.batched_steps = min(st.batched_steps, 400)
         return st
 
 
@@ -82,7 +98,8 @@ class Scheme:
     def default(cls) -> "Scheme":
         """greedy:i=5k,a=1 → anneal:i=20,a=20 (solve.rs:211-229)."""
         return cls([Stage(kind="greedy", in_size=5000, attempts=1,
-                          anneal_steps=0, polish_steps=8000),
+                          anneal_steps=0, polish_steps=8000,
+                          batched_anneal=0, batched_steps=400),
                     Stage(kind="anneal", in_size=20, attempts=20)])
 
     @classmethod
@@ -253,9 +270,19 @@ def solve_locus(tensors: LocusTensors, pack: ContigInfoPack, bg_distr,
                 genotypes: np.ndarray, priors: np.ndarray, params: Params,
                 scheme: Scheme, key, tag: str = "locus",
                 dist_matrix: np.ndarray | None = None,
-                gt_batch: int = 512) -> Genotyping:
-    """Full multi-stage solve of one locus on device."""
+                gt_batch: int = 512, sol_writer=None,
+                gt_names=None) -> Genotyping:
+    """Full multi-stage solve of one locus on device.
+
+    sol_writer: optional text stream receiving per-stage scores
+    ("stage\\tgenotype\\tscore", counterpart of sol.csv.gz, solve.rs:918-919).
+    """
     import jax
+
+    def write_sol(stage_ix, ix, score):
+        if sol_writer is not None:
+            name = gt_names[ix] if gt_names else f"{genotypes[ix]}"
+            sol_writer.write(f"{stage_ix}\t{name}\t{mathx.to_log10(score):.4f}\n")
 
     mul_coef = 2.0 if bg_distr.insert_distr.is_paired_end else 1.0
     bayes = build_bayes_table(bg_distr.depth.distributions, list(params.alt_cn),
@@ -284,8 +311,27 @@ def solve_locus(tensors: LocusTensors, pack: ContigInfoPack, bg_distr,
             prob_diff=params.prob_diff,
             tweak=int(params.tweak or 0),
             window_size=pack.window_size,
+            anneal_steps_b=stage.batched_anneal,
         )
         random_init = stage.kind == "anneal"
+        if stage.engine == "batched":
+            from ..ops.solver_batched import solve_genotypes_batched
+
+            def run_solver(key_, gts_):
+                return solve_genotypes_batched(
+                    key_, gts_, tensors.hap_prob, tensors.hap_mid,
+                    tensors.unmapped_prob, pack.n_windows, pack.reg_start,
+                    pack.contig_len, pack.gc_at, pack.weight_at, bayes, cfg,
+                    n_attempts=stage.attempts, max_windows=pack.max_windows,
+                    n_steps=stage.batched_steps, random_init=random_init)
+        else:
+            def run_solver(key_, gts_):
+                return solve_genotypes(
+                    key_, gts_, tensors.hap_prob, tensors.hap_mid,
+                    tensors.unmapped_prob, pack.n_windows, pack.reg_start,
+                    pack.contig_len, pack.gc_at, pack.weight_at, bayes, cfg,
+                    n_attempts=stage.attempts, max_windows=pack.max_windows,
+                    random_init=random_init)
         for s in range(0, ixs.size, gt_batch):
             chunk = ixs[s:s + gt_batch]
             # Pad genotype chunks to power-of-two buckets (min 16) so the
@@ -297,13 +343,8 @@ def solve_locus(tensors: LocusTensors, pack: ContigInfoPack, bg_distr,
             gts = genotypes[chunk]
             if pad:
                 gts = np.concatenate([gts, np.repeat(gts[-1:], pad, 0)])
-            liks, assgns = solve_genotypes(
-                jax.random.fold_in(key, s_ix * 100003 + s), gts,
-                tensors.hap_prob, tensors.hap_mid, tensors.unmapped_prob,
-                pack.n_windows, pack.reg_start, pack.contig_len,
-                pack.gc_at, pack.weight_at, bayes, cfg,
-                n_attempts=stage.attempts, max_windows=pack.max_windows,
-                random_init=random_init)
+            liks, assgns = run_solver(
+                jax.random.fold_in(key, s_ix * 100003 + s), gts)
             liks = np.asarray(liks, dtype=np.float64)
             final_stage = out_size is None
             if final_stage:
@@ -316,6 +357,7 @@ def solve_locus(tensors: LocusTensors, pack: ContigInfoPack, bg_distr,
                 predictions[ix] = Prediction(
                     mean, var, stage.attempts,
                     assignments=assgns[gi] if final_stage else None)
+                write_sol(s_ix + 1, ix, mean)
         dt = time.monotonic() - t0
         logger.info("    Stage %d (%s): %d genotypes x %d attempts in %.2fs "
                     "(%.4f s/gt)", s_ix + 1, stage.kind, ixs.size,

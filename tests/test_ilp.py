@@ -76,3 +76,28 @@ class TestIlp:
         assert best == pytest.approx(ilp_lik, abs=0.05), \
             f"anneal {best} vs ILP {ilp_lik}"
         assert best <= ilp_lik + 0.05  # cannot beat the exact optimum
+
+
+class TestBatchedSolver:
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_batched_reaches_ilp_optimum(self, seed):
+        from locityper_tpu.ops.solver_batched import solve_genotypes_batched
+        tensors, pack, bayes, params = small_problem(seed)
+        gt = (0, 2)
+        _, ilp_lik = solve_ilp(gt, tensors, pack, bayes, params)
+        cfg = SolverConfig(anneal_steps=0, polish_steps=0,
+                           depth_contrib=params.depth_contrib,
+                           aln_contrib=params.aln_contrib,
+                           prob_diff=params.prob_diff,
+                           tweak=0, window_size=pack.window_size,
+                           anneal_steps_b=500, move_thin=0.3)
+        liks, _ = solve_genotypes_batched(
+            jax.random.PRNGKey(seed), np.array([gt], np.int32),
+            tensors.hap_prob, tensors.hap_mid, tensors.unmapped_prob,
+            pack.n_windows, pack.reg_start, pack.contig_len, pack.gc_at,
+            pack.weight_at, bayes, cfg, n_attempts=8,
+            max_windows=pack.max_windows, n_steps=1000)
+        best = float(np.max(np.asarray(liks)))
+        assert best == pytest.approx(ilp_lik, abs=0.05), \
+            f"batched {best} vs ILP {ilp_lik}"
+        assert best <= ilp_lik + 0.05
