@@ -39,6 +39,12 @@ def add_args(p):
                    help="Samples to exclude from VCF haplotype extraction")
     p.add_argument("-k", "--kmer", type=int, default=25,
                    help="k-mer size for counts [%(default)s]")
+    p.add_argument("-e", "--expand", type=int, default=0, metavar="BP",
+                   help="Expand locus boundaries up to BP into variant-free, "
+                        "unique-k-mer-rich positions (add.rs:330-477) "
+                        "[disabled]")
+    p.add_argument("-w", "--window", type=int, default=500,
+                   help="Moving window for boundary selection [%(default)s]")
     p.add_argument("--rerun", default="none", help="all/part/none")
     return p
 
@@ -127,6 +133,19 @@ def run(args):
             if not rerun.prepare_dir(ldir):
                 logger.info("[%s] already done, skipping", name)
                 continue
+            if args.expand > 0:
+                from .boundary import expand_locus
+                res = expand_locus(genome[chrom], start, end, counter,
+                                   allowed_expansion=args.expand,
+                                   moving_window=args.window)
+                if res is None:
+                    logger.warning("[%s] no valid expanded boundary, keeping "
+                                   "original", name)
+                else:
+                    if res != (start, end):
+                        logger.info("[%s] expanded %s:%d-%d -> %d-%d", name,
+                                    chrom, start, end, res[0], res[1])
+                    start, end = res
             target_seq = genome[chrom][start:end]
             if args.vcf:
                 from ..seq.panvcf import haplotypes_from_vcf
