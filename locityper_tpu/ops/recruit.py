@@ -4,11 +4,16 @@ The device twin of seq/recruit.py's host engine (behavioral spec:
 reference seq/recruit.rs): dense [B, L] read batches → canonical k-mers →
 32-bit murmur3 minimizers (first-argmin per window, deduped) → sorted-table
 binary search → per-locus direction/rarity counters → short-read and pair
-decision rules.  Everything is int32/uint32 (TPU-native); the index is the
-same TargetIndex the host builds (seq/recruit.py), shipped as flat arrays.
+decision rules, bit-identical to the host path.
+
+Index layout: instead of variable-length (locus, info) entry lists (a
+scatter-heavy shape), each minimizer key stores three LOCUS BITMAPS
+(fw-direction, bw-direction, rare) as uint32 words (32 loci per word).
+Per-locus counters then reduce to bit-extractions + sums — pure VPU work
+with no scatters and no per-entry loop (SURVEY.md §7 'device hash tables').
 
 Decision rules are exact integer cross-multiplications of the rational
-match-fraction threshold, matching the host path bit-for-bit.
+match-fraction threshold.
 """
 from __future__ import annotations
 
@@ -20,25 +25,23 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..seq.recruit import (DIR_BW, DIR_FW, RARE_BIT, RARE_WORTH, RecruitParams,
+from ..seq.recruit import (DIR_BW, DIR_FW, RARE_BIT, RARE_WORTH,
                            TargetIndex)
 
 UNDEF32 = jnp.uint32(0xFFFFFFFF)
 
-
-_Cfg = namedtuple("_Cfg", "n_loci max_entries k w frac_p frac_q")
+_Cfg = namedtuple("_Cfg", "n_loci n_groups k w frac_p frac_q")
 
 
 @dataclass(frozen=True, eq=False)
 class DeviceIndex:
-    """TargetIndex as device-friendly flat arrays."""
+    """TargetIndex as per-key locus bitmaps."""
     keys: np.ndarray          # [M] uint32 sorted
-    start: np.ndarray         # [M] int32 entry span start
-    count: np.ndarray         # [M] int32 entry span length
-    entry_locus: np.ndarray   # [E] int32
-    entry_info: np.ndarray    # [E] int32
+    fw_mask: np.ndarray       # [M, G] uint32 — direction includes forward
+    bw_mask: np.ndarray       # [M, G] uint32 — direction includes backward
+    rare_mask: np.ndarray     # [M, G] uint32
     n_loci: int
-    max_entries: int
+    n_groups: int
     k: int
     w: int
     frac_p: int               # match_frac = frac_p / frac_q
@@ -48,22 +51,32 @@ class DeviceIndex:
     def from_index(cls, index: TargetIndex) -> "DeviceIndex":
         p = index.params
         frac = p.match_frac_rational
-        starts = index.offsets[:-1].astype(np.int32)
-        counts = np.diff(index.offsets).astype(np.int32)
-        return cls(
-            keys=index.keys.astype(np.uint32),
-            start=starts, count=counts,
-            entry_locus=index.entry_locus.astype(np.int32),
-            entry_info=index.entry_info.astype(np.int32),
-            n_loci=index.n_loci,
-            max_entries=max(int(counts.max()) if counts.size else 1, 1),
-            k=p.minimizer_k, w=p.minimizer_w,
-            frac_p=frac.numerator, frac_q=frac.denominator)
+        M = index.keys.size
+        G = max(-(-index.n_loci // 32), 1)
+        fw = np.zeros((M, G), np.uint32)
+        bw = np.zeros((M, G), np.uint32)
+        rare = np.zeros((M, G), np.uint32)
+        offs = index.offsets
+        for m in range(M):
+            for e in range(int(offs[m]), int(offs[m + 1])):
+                l = int(index.entry_locus[e])
+                info = int(index.entry_info[e])
+                g, b = divmod(l, 32)
+                bit = np.uint32(1 << b)
+                if info & DIR_FW:
+                    fw[m, g] |= bit
+                if info & DIR_BW:
+                    bw[m, g] |= bit
+                if info & RARE_BIT:
+                    rare[m, g] |= bit
+        return cls(keys=index.keys.astype(np.uint32), fw_mask=fw, bw_mask=bw,
+                   rare_mask=rare, n_loci=index.n_loci, n_groups=G,
+                   k=p.minimizer_k, w=p.minimizer_w,
+                   frac_p=frac.numerator, frac_q=frac.denominator)
 
     @property
     def cfg(self) -> "_Cfg":
-        """Hashable scalar config for jit static args."""
-        return _Cfg(self.n_loci, self.max_entries, self.k, self.w,
+        return _Cfg(self.n_loci, self.n_groups, self.k, self.w,
                     self.frac_p, self.frac_q)
 
 
@@ -85,7 +98,6 @@ def _canonical_hashes(reads, k: int):
         ok = ok & vj
     is_fw = fw <= rv
     kmer = jnp.where(is_fw, fw, rv)
-    # murmur3 mix (seq/kmers.py murmur3_mix32).
     x = ~kmer
     x = x ^ (x >> jnp.uint32(16))
     x = x * jnp.uint32(0x85EBCA6B)
@@ -100,7 +112,6 @@ def _minimizer_mask(h, w: int):
     W = P - w + 1
     if W <= 0:
         return jnp.zeros_like(h, bool)
-    # First-argmin per window: w shifted compares (ties keep earlier).
     best_v = jax.lax.dynamic_slice_in_dim(h, 0, W, axis=1)
     best_p = jnp.zeros((B, W), jnp.int32)
     for j in range(1, w):
@@ -115,12 +126,11 @@ def _minimizer_mask(h, w: int):
     return mask
 
 
-def _mate_counters(reads, dev: DeviceIndex, keys, start, count, entry_locus,
-                   entry_info):
+def _mate_counters(reads, cfg: _Cfg, keys, fw_mask, bw_mask, rare_mask):
     """Per-locus counters [B, n_loci, 4] = [bw_c, fw_c, bw_r, fw_r] and the
-    minimizer totals [B]."""
-    h, is_fw = _canonical_hashes(reads, dev.k)
-    mask = _minimizer_mask(h, dev.w)
+    minimizer totals [B] — via bitmap extraction, no scatters."""
+    h, is_fw = _canonical_hashes(reads, cfg.k)
+    mask = _minimizer_mask(h, cfg.w)
     total = jnp.sum(mask, axis=1).astype(jnp.int32)
 
     B, P = h.shape
@@ -128,25 +138,29 @@ def _mate_counters(reads, dev: DeviceIndex, keys, start, count, entry_locus,
     idx = jnp.searchsorted(keys, h.reshape(-1)).reshape(B, P)
     idx = jnp.minimum(idx, M - 1)
     found = (keys[idx] == h) & mask
-    e_start = jnp.where(found, start[idx], 0)
-    e_count = jnp.where(found, count[idx], 0)
 
-    counts = jnp.zeros((B, dev.n_loci, 4), jnp.int32)
-    E = entry_locus.shape[0]
-    for e in range(dev.max_entries):
-        ei = jnp.minimum(e_start + e, E - 1)
-        live = found & (e < e_count)
-        locus = entry_locus[ei]
-        info = entry_info[ei]
-        rare = (info & RARE_BIT) != 0
-        dir_read = jnp.where(is_fw, DIR_FW, DIR_BW)      # read direction bit
-        dir_anti = jnp.where(is_fw, DIR_BW, DIR_FW)
-        fw_hit = live & ((info & dir_read) != 0)
-        bw_hit = live & ((info & dir_anti) != 0)
-        b_ix = jnp.broadcast_to(jnp.arange(B)[:, None], (B, P))
-        slot = jnp.where(rare, 2, 0)
-        counts = counts.at[b_ix, locus, slot].add(bw_hit)
-        counts = counts.at[b_ix, locus, slot + 1].add(fw_hit)
+    per_locus = []
+    for g in range(cfg.n_groups):
+        fmask = jnp.where(found, fw_mask[idx, g], 0)      # [B, P] uint32
+        bmask = jnp.where(found, bw_mask[idx, g], 0)
+        rmask = rare_mask[idx, g]
+        # Read-direction semantics (BaseMatchCount::inc): the "forward"
+        # counter counts entries whose direction includes the read
+        # minimizer's own direction; "backward" the opposite.
+        m_fwdir = jnp.where(is_fw, fmask, bmask)          # hits fw counter
+        m_bwdir = jnp.where(is_fw, bmask, fmask)          # hits bw counter
+        n_here = min(32, cfg.n_loci - 32 * g)
+        for b in range(n_here):
+            bit = jnp.uint32(1 << b)
+            rare_b = (rmask & bit) != 0
+            fw_hit = (m_fwdir & bit) != 0
+            bw_hit = (m_bwdir & bit) != 0
+            bw_c = jnp.sum(bw_hit & ~rare_b, axis=1)
+            fw_c = jnp.sum(fw_hit & ~rare_b, axis=1)
+            bw_r = jnp.sum(bw_hit & rare_b, axis=1)
+            fw_r = jnp.sum(fw_hit & rare_b, axis=1)
+            per_locus.append(jnp.stack([bw_c, fw_c, bw_r, fw_r], axis=-1))
+    counts = jnp.stack(per_locus, axis=1).astype(jnp.int32)  # [B, n_loci, 4]
     return counts, total
 
 
@@ -166,31 +180,25 @@ def _numer_denoms(counts, total):
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def recruit_short_batch(cfg, reads, keys, start, count,
-                        entry_locus, entry_info):
-    """[B, n_loci] bool decisions for short single-end reads.
-    cfg: hashable scalar tuple (see DeviceIndex.cfg)."""
-    dev = _Cfg(*cfg)
-    counts, total = _mate_counters(reads, dev, keys, start, count,
-                                   entry_locus, entry_info)
+def recruit_short_batch(cfg, reads, keys, fw_mask, bw_mask, rare_mask):
+    """[B, n_loci] bool decisions for short single-end reads."""
+    counts, total = _mate_counters(reads, cfg, keys, fw_mask, bw_mask,
+                                   rare_mask)
     fw_n, bw_n, fw_d, bw_d, has_rare = _numer_denoms(counts, total)
     use_fw = fw_n >= bw_n
     numer = jnp.where(use_fw, fw_n, bw_n)
     denom = jnp.maximum(jnp.where(use_fw, fw_d, bw_d), 1)
-    passed = numer * dev.frac_q >= dev.frac_p * denom
+    passed = numer * cfg.frac_q >= cfg.frac_p * denom
     return has_rare & passed
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def recruit_pairs_batch(cfg, reads1, reads2, keys, start, count,
-                        entry_locus, entry_info):
+def recruit_pairs_batch(cfg, reads1, reads2, keys, fw_mask, bw_mask,
+                        rare_mask):
     """[B, n_loci] bool decisions for read pairs (strand-consistent joint
     orientation, both mates must pass; recruit.rs:885-932)."""
-    dev = _Cfg(*cfg)
-    c1, t1 = _mate_counters(reads1, dev, keys, start, count, entry_locus,
-                            entry_info)
-    c2, t2 = _mate_counters(reads2, dev, keys, start, count, entry_locus,
-                            entry_info)
+    c1, t1 = _mate_counters(reads1, cfg, keys, fw_mask, bw_mask, rare_mask)
+    c2, t2 = _mate_counters(reads2, cfg, keys, fw_mask, bw_mask, rare_mask)
     fw_n1, bw_n1, fw_d1, bw_d1, rare1 = _numer_denoms(c1, t1)
     fw_n2, bw_n2, fw_d2, bw_d2, rare2 = _numer_denoms(c2, t2)
     use_fw1 = fw_n1 + bw_n2 >= bw_n1 + fw_n2
@@ -198,21 +206,20 @@ def recruit_pairs_batch(cfg, reads1, reads2, keys, start, count,
     d1 = jnp.maximum(jnp.where(use_fw1, fw_d1, bw_d1), 1)
     n2 = jnp.where(use_fw1, bw_n2, fw_n2)
     d2 = jnp.maximum(jnp.where(use_fw1, bw_d2, fw_d2), 1)
-    ok1 = n1 * dev.frac_q >= dev.frac_p * d1
-    ok2 = n2 * dev.frac_q >= dev.frac_p * d2
-    # Mate-1 must have at least one match at the locus (mate-2-only loci are
-    # never inserted by the reference, recruit.rs:915-917).
+    ok1 = n1 * cfg.frac_q >= cfg.frac_p * d1
+    ok2 = n2 * cfg.frac_q >= cfg.frac_p * d2
+    # Mate-1 must have at least one match at the locus (the reference never
+    # inserts mate-2-only loci, recruit.rs:915-917).
     any1 = jnp.sum(c1, axis=-1) > 0
     return (rare1 | rare2) & ok1 & ok2 & any1
 
 
 def run_short(dev: DeviceIndex, reads: np.ndarray):
     return np.asarray(recruit_short_batch(
-        dev.cfg, reads, dev.keys, dev.start, dev.count, dev.entry_locus,
-        dev.entry_info))
+        dev.cfg, reads, dev.keys, dev.fw_mask, dev.bw_mask, dev.rare_mask))
 
 
 def run_pairs(dev: DeviceIndex, reads1: np.ndarray, reads2: np.ndarray):
     return np.asarray(recruit_pairs_batch(
-        dev.cfg, reads1, reads2, dev.keys, dev.start, dev.count,
-        dev.entry_locus, dev.entry_info))
+        dev.cfg, reads1, reads2, dev.keys, dev.fw_mask, dev.bw_mask,
+        dev.rare_mask))
