@@ -139,7 +139,7 @@ def _mate_counters(reads, cfg: _Cfg, keys, fw_mask, bw_mask, rare_mask):
     idx = jnp.minimum(idx, M - 1)
     found = (keys[idx] == h) & mask
 
-    per_locus = []
+    per_group = []
     for g in range(cfg.n_groups):
         fmask = jnp.where(found, fw_mask[idx, g], 0)      # [B, P] uint32
         bmask = jnp.where(found, bw_mask[idx, g], 0)
@@ -150,18 +150,19 @@ def _mate_counters(reads, cfg: _Cfg, keys, fw_mask, bw_mask, rare_mask):
         m_fwdir = jnp.where(is_fw, fmask, bmask)          # hits fw counter
         m_bwdir = jnp.where(is_fw, bmask, fmask)          # hits bw counter
         n_here = min(32, cfg.n_loci - 32 * g)
-        for b in range(n_here):
-            bit = jnp.uint32(1 << b)
-            rare_b = (rmask & bit) != 0
-            fw_hit = (m_fwdir & bit) != 0
-            bw_hit = (m_bwdir & bit) != 0
-            bw_c = jnp.sum(bw_hit & ~rare_b, axis=1)
-            fw_c = jnp.sum(fw_hit & ~rare_b, axis=1)
-            bw_r = jnp.sum(bw_hit & rare_b, axis=1)
-            fw_r = jnp.sum(fw_hit & rare_b, axis=1)
-            per_locus.append(jnp.stack([bw_c, fw_c, bw_r, fw_r], axis=-1))
-    counts = jnp.stack(per_locus, axis=1).astype(jnp.int32)  # [B, n_loci, 4]
-    return counts, total
+        # Broadcast bit extraction over all loci of the group at once:
+        # [B, P, n_here] hits, summed over positions in one fused reduce.
+        bits = jnp.arange(n_here, dtype=jnp.uint32)
+        rare_b = ((rmask[..., None] >> bits) & 1) != 0
+        fw_hit = ((m_fwdir[..., None] >> bits) & 1) != 0
+        bw_hit = ((m_bwdir[..., None] >> bits) & 1) != 0
+        bw_c = jnp.sum(bw_hit & ~rare_b, axis=1)          # [B, n_here]
+        fw_c = jnp.sum(fw_hit & ~rare_b, axis=1)
+        bw_r = jnp.sum(bw_hit & rare_b, axis=1)
+        fw_r = jnp.sum(fw_hit & rare_b, axis=1)
+        per_group.append(jnp.stack([bw_c, fw_c, bw_r, fw_r], axis=-1))
+    counts = jnp.concatenate(per_group, axis=1).astype(jnp.int32)
+    return counts, total                                   # [B, n_loci, 4]
 
 
 def _numer_denoms(counts, total):
