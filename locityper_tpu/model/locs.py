@@ -142,6 +142,85 @@ class HapMinimizerIndex:
                 cands.append((hp, orient, int(round(diag))))
         return cands
 
+    def candidates_batch(self, mates, w: int, band: int, min_votes: int,
+                         max_per_hap: int):
+        """Vectorized `candidates` over a list of reads: one numpy pass of
+        lookup + bucket voting for the whole batch (the per-read Python
+        loop is the host pipeline's hotspot)."""
+        if self.keys.size == 0:
+            return [[] for _ in mates]
+        m_read, m_pos, m_hash, m_fwd, m_rlen = [], [], [], [], []
+        for ix, codes in enumerate(mates):
+            pos, vals, fwd = minimizers32(codes, self.k, w)
+            m_read.append(np.full(pos.size, ix, np.int64))
+            m_pos.append(pos)
+            m_hash.append(vals)
+            m_fwd.append(fwd)
+            m_rlen.append(np.full(pos.size, codes.size, np.int64))
+        if not m_read:
+            return [[] for _ in mates]
+        read_ix = np.concatenate(m_read)
+        pos = np.concatenate(m_pos)
+        vals = np.concatenate(m_hash)
+        fwd = np.concatenate(m_fwd)
+        rlen = np.concatenate(m_rlen)
+
+        lo = np.searchsorted(self.keys, vals, side="left")
+        hi = np.searchsorted(self.keys, vals, side="right")
+        counts = hi - lo
+        nz = counts > 0
+        if not np.any(nz):
+            return [[] for _ in mates]
+        # Expand each minimizer's entry span.
+        reps = counts[nz]
+        src = np.repeat(np.nonzero(nz)[0], reps)
+        offset_in = np.arange(reps.sum()) - np.repeat(
+            np.cumsum(reps) - reps, reps)
+        e_ix = lo[nz].repeat(reps) + offset_in
+        hp = self.hap[e_ix].astype(np.int64)
+        same = self.fwd[e_ix] == fwd[src]
+        diag_fw = self.pos[e_ix].astype(np.int64) - pos[src]
+        diag_rv = self.pos[e_ix].astype(np.int64) - (rlen[src] - self.k - pos[src])
+        orient = (~same).astype(np.int64)
+        diag = np.where(same, diag_fw, diag_rv)
+        bstep = max(band // 2, 1)
+        bucket = diag // bstep
+
+        # Group by (read, hap, orient, bucket): lexsort + run-length.
+        key_r = read_ix[src]
+        order = np.lexsort((bucket, orient, hp, key_r))
+        kr, kh, ko, kb, kd = (key_r[order], hp[order], orient[order],
+                              bucket[order], diag[order])
+        newgrp = np.ones(kr.size, bool)
+        newgrp[1:] = ((kr[1:] != kr[:-1]) | (kh[1:] != kh[:-1])
+                      | (ko[1:] != ko[:-1]) | (kb[1:] != kb[:-1]))
+        starts = np.nonzero(newgrp)[0]
+        ends = np.concatenate([starts[1:], [kr.size]])
+        votes = ends - starts
+        dsum = np.add.reduceat(kd, starts)
+        keep = votes >= min_votes
+        g_read = kr[starts][keep]
+        g_hap = kh[starts][keep]
+        g_orient = ko[starts][keep]
+        g_votes = votes[keep]
+        g_diag = np.round(dsum[keep] / g_votes).astype(np.int64)
+
+        out = [[] for _ in mates]
+        # Top-N buckets per (read, hap, orient): sort by votes desc within
+        # groups, then take the first max_per_hap of each.
+        order2 = np.lexsort((-g_votes, g_orient, g_hap, g_read))
+        prev = (-1, -1, -1)
+        taken = 0
+        for i in order2:
+            gkey = (int(g_read[i]), int(g_hap[i]), int(g_orient[i]))
+            if gkey != prev:
+                prev = gkey
+                taken = 0
+            if taken < max_per_hap:
+                out[gkey[0]].append((gkey[1], gkey[2], int(g_diag[i])))
+                taken += 1
+        return out
+
 
 # ---------------------------------------------------------------------------
 # Alignment records and pairing
@@ -351,9 +430,9 @@ def build_all_alignments(read_pairs, names, contig_set: ContigSet,
         if c2 is not None:
             mates.append(c2)
             mate_of_read.append((r, 1))
-    cand_lists = [hap_index.candidates(m, minimizer_w, params.band,
-                                       params.min_anchor_votes,
-                                       max_per_hap=3) for m in mates]
+    cand_lists = hap_index.candidates_batch(mates, minimizer_w, params.band,
+                                            params.min_anchor_votes,
+                                            max_per_hap=3)
     aln_lists = _align_candidates(mates, cand_lists, contig_set, score_vec,
                                   params.band)
 

@@ -1,0 +1,315 @@
+"""Pallas TPU kernel for the read-assignment annealer.
+
+The XLA sequential chain (ops/solver.py) costs ~0.24 ms/step because every
+step round-trips the chain state through HBM.  This kernel keeps the whole
+state of TB = 128 chains (lanes) resident in VMEM for the entire run.
+
+Layouts are strictly 2D (Mosaic rejects 3D reductions):
+  probs   [K·R, TB] f32   candidate ln-probs, k-major blocks of R rows,
+                          PRE-PERMUTED so valid candidates occupy slots
+                          [0, vcount)
+  winpk   [K·R, TB] i32   window pair packed w1 | w2 << 16
+  wtabf   [W·D, TB] f32   weight·lnBayes(depth) flattened (w·D + d)
+  vcount, nt_ixs [R, TB]; ntc [1, TB]
+  state:  assgn [R, TB] i32, depth [W, TB] i32,
+          cache [W, TB] f32 = wtabf at the CURRENT depth of each window
+          (so an unchanged window costs a cheap [W, TB] gather, and only
+          moved windows pay the [W·D, TB] flat table lookup).
+
+Per-lane "gathers" (unsupported by Mosaic) are masked reductions:
+value at per-lane row r = Σ_rows (iota == r)·x.  RNG: pltpu.prng_random_bits
+(NOTE: stubbed to zeros in interpret mode — dynamics are validated on
+hardware against the exact ILP optimum).
+
+Semantics mirror ops/solver._chain (random other candidate of a random
+non-trivial read; Metropolis under linear cooling; greedy polish after);
+the final likelihood is recomputed from the end state.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .solver import (NEG, SolverConfig, _compact_valid, _gather_candidates,
+                     _read_windows, _window_tables)
+
+D_TAB = 32          # depth table height (values above clamp)
+HI16 = 1 << 16
+M16 = 0xFFFF
+
+
+def _u01(shape):
+    """Uniform [0,1) f32 from raw PRNG bits (bitcast: the raw bits may come
+    back as signed int32, and an arithmetic shift would sign-extend)."""
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    # Mosaic cannot cast uint32->f32; the top 24 bits fit in positive int32.
+    top24 = pltpu.bitcast(bits >> jnp.uint32(8), jnp.int32)
+    return top24.astype(jnp.float32) * (1.0 / (1 << 24))
+
+
+def _randint(shape, bound):
+    """Uniform integers in [0, bound) (bound: array, >0)."""
+    u = _u01(shape)
+    return jnp.minimum((u * bound.astype(jnp.float32)).astype(jnp.int32),
+                       bound - 1)
+
+
+def _kernel(seed_ref, cool_ref, probs_ref, winpk_ref, vcount_ref, nt_ref,
+            ntc_ref, wtabf_ref, assgn0_ref, depth0_ref, cache0_ref,
+            lik_out, assgn_out,
+            *, R: int, K: int, W: int, TB: int, n_steps: int,
+            anneal_steps: int, dc: float, ac: float):
+    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    iota_r = jax.lax.broadcasted_iota(jnp.int32, (R, TB), 0)
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (W, TB), 0)
+    iota_wd = jax.lax.broadcasted_iota(jnp.int32, (W * D_TAB, TB), 0)
+
+    vcount = vcount_ref[:]
+    ntc = ntc_ref[:]
+    start_temp = cool_ref[0]
+    assgn = assgn0_ref[:]
+    depth = depth0_ref[:]
+    cache = cache0_ref[:]
+    wtabf = wtabf_ref[:]
+
+    def sel_r(arr2, r):
+        """arr2 [R, TB] at per-lane row r -> [1, TB]."""
+        return jnp.sum(jnp.where(iota_r == r, arr2, 0), axis=0)[None, :]
+
+    def sel_rf(arr2, r):
+        return jnp.sum(jnp.where(iota_r == r, arr2, 0.0), axis=0)[None, :]
+
+    def step(s, carry):
+        assgn, depth, cache = carry
+        t = _randint((1, TB), ntc)
+        r = sel_r(nt_ref[:], t)
+        rmask = iota_r == r
+        cur = jnp.sum(jnp.where(rmask, assgn, 0), axis=0)[None, :]
+        vc = jnp.sum(jnp.where(rmask, vcount, 0), axis=0)[None, :]
+        i = 1 + _randint((1, TB), jnp.maximum(vc - 1, 1))
+        new = jnp.where(i <= cur, i - 1, i)
+
+        # Candidate data: loop over static k blocks, select by slot.
+        p_cur = jnp.zeros((1, TB), jnp.float32)
+        p_new = jnp.zeros((1, TB), jnp.float32)
+        wp_cur = jnp.zeros((1, TB), jnp.int32)
+        wp_new = jnp.zeros((1, TB), jnp.int32)
+        for k in range(K):
+            pk = sel_rf(probs_ref[k * R:(k + 1) * R], r)
+            wk = sel_r(winpk_ref[k * R:(k + 1) * R], r)
+            p_cur = jnp.where(cur == k, pk, p_cur)
+            p_new = jnp.where(new == k, pk, p_new)
+            wp_cur = jnp.where(cur == k, wk, wp_cur)
+            wp_new = jnp.where(new == k, wk, wp_new)
+
+        w1 = wp_cur & M16
+        w2 = (wp_cur >> 16) & M16
+        w3 = wp_new & M16
+        w4 = (wp_new >> 16) & M16
+
+        # Shared-window cascade (assgn.rs:259-284).
+        c1 = jnp.full((1, TB), -1, jnp.int32)
+        e21 = w2 == w1
+        c2 = jnp.where(e21, 0, -1)
+        c1 = c1 + jnp.where(e21, -1, 0)
+        e31, e32 = w3 == w1, w3 == w2
+        c3 = jnp.where(e31 | e32, 0, 1)
+        c1 = c1 + jnp.where(e31, 1, 0)
+        c2 = c2 + jnp.where(~e31 & e32, 1, 0)
+        e41, e42, e43 = w4 == w1, w4 == w2, w4 == w3
+        c4 = jnp.where(e41 | e42 | e43, 0, 1)
+        c1 = c1 + jnp.where(e41, 1, 0)
+        c2 = c2 + jnp.where(~e41 & e42, 1, 0)
+        c3 = c3 + jnp.where(~e41 & ~e42 & e43, 1, 0)
+
+        def atomic(w, c):
+            """Returns (delta, new_val) for window w with depth change c."""
+            wmask = iota_w == w
+            d0 = jnp.sum(jnp.where(wmask, depth, 0), axis=0)[None, :]
+            cur_v = jnp.sum(jnp.where(wmask, cache, 0.0), axis=0)[None, :]
+            d1 = jnp.clip(d0 + c, 0, D_TAB - 1)
+            idx = w * D_TAB + d1
+            new_v = jnp.sum(jnp.where(iota_wd == idx, wtabf, 0.0),
+                            axis=0)[None, :]
+            delta = jnp.where(c == 0, 0.0, new_v - cur_v)
+            return delta, new_v
+
+        dd1, nv1 = atomic(w1, c1)
+        dd2, nv2 = atomic(w2, c2)
+        dd3, nv3 = atomic(w3, c3)
+        dd4, nv4 = atomic(w4, c4)
+        delta = ac * (p_new - p_cur) + dc * (dd1 + dd2 + dd3 + dd4)
+
+        s_rem = jnp.maximum(anneal_steps - s, 0).astype(jnp.float32)
+        temp = start_temp * s_rem / max(anneal_steps, 1)
+        u = _u01((1, TB))
+        metro = (temp > 0) & (u <= jnp.exp(delta / jnp.maximum(temp, 1e-30)))
+        accept = (delta >= 0) | metro
+        inc = jnp.where(accept, 1, 0)
+
+        depth = depth + ((iota_w == w3).astype(jnp.int32)
+                         + (iota_w == w4) - (iota_w == w1)
+                         - (iota_w == w2)) * inc
+        for w, c, nv in ((w1, c1, nv1), (w2, c2, nv2), (w3, c3, nv3),
+                         (w4, c4, nv4)):
+            upd = (iota_w == w) & accept & (c != 0)
+            cache = jnp.where(upd, nv, cache)
+        assgn = jnp.where(rmask & accept, new, assgn)
+        return assgn, depth, cache
+
+    assgn, depth, cache = jax.lax.fori_loop(
+        0, n_steps, step, (assgn, depth, cache))
+
+    # Final likelihood from the end state: depth part = Σ cache (cache holds
+    # the exact current table value per window); aln part looped over reads.
+    dep = jnp.sum(cache, axis=0)[None, :]
+
+    def aln_body(r, acc):
+        slot = jnp.sum(jnp.where(iota_r == r, assgn, 0), axis=0)[None, :]
+        v = jnp.zeros((1, TB), jnp.float32)
+        for k in range(K):
+            pk = probs_ref[pl.ds(k * R + r, 1)]              # [1, TB]
+            v = jnp.where(slot == k, pk, v)
+        return acc + v
+
+    aln = jax.lax.fori_loop(0, R, aln_body, jnp.zeros((1, TB), jnp.float32))
+    lik_out[:] = dc * dep + ac * aln
+    assgn_out[:] = assgn
+
+
+def _prepare_chains(key, genotypes, attempts, hap_prob, hap_mid,
+                    unmapped_prob, pack_nwin, pack_regstart, pack_len, gc_at,
+                    weight_at, bayes, cfg: SolverConfig, max_windows: int,
+                    random_init: bool):
+    """Builds per-chain tensors (XLA, one-time per stage)."""
+
+    def one_chain(k, gt):
+        probs, mids, slots, valid = _gather_candidates(
+            hap_prob, hap_mid, unmapped_prob, gt, cfg.prob_diff)
+        vorder, vcount = _compact_valid(valid)
+        kw, kr = jax.random.split(k)
+        win_gc, win_weight = _window_tables(
+            kw, gt, pack_nwin, pack_regstart, pack_len, gc_at, weight_at,
+            cfg.window_size, cfg.tweak, max_windows)
+        wins = _read_windows(kr, gt, mids, slots, pack_nwin, pack_regstart,
+                             cfg.window_size, cfg.tweak, max_windows)
+        probs_p = jnp.take_along_axis(probs, vorder, axis=1)
+        w1 = jnp.take_along_axis(wins[..., 0], vorder, axis=1)
+        w2 = jnp.take_along_axis(wins[..., 1], vorder, axis=1)
+        winpk = w1 | (w2 << 16)
+        nontrivial = vcount > 1
+        ntc = jnp.maximum(jnp.sum(nontrivial), 1).astype(jnp.int32)
+        nt_ixs = jnp.argsort(~nontrivial, stable=True).astype(jnp.int32)
+        wtab = win_weight[:, None] * bayes[win_gc, :D_TAB]       # [W, D]
+        if random_init:
+            u = jax.random.uniform(jax.random.fold_in(kw, 7),
+                                   (vcount.shape[0],))
+            assgn0 = jnp.minimum((u * vcount).astype(jnp.int32),
+                                 jnp.maximum(vcount - 1, 0))
+        else:
+            assgn0 = jnp.argmax(probs_p, axis=1).astype(jnp.int32)
+        wp0 = jnp.take_along_axis(winpk, assgn0[:, None], axis=1)[:, 0]
+        w1_0 = wp0 & M16
+        w2_0 = (wp0 >> 16) & M16
+        depth0 = jnp.zeros(wtab.shape[0], jnp.int32).at[w1_0].add(1) \
+                                                    .at[w2_0].add(1)
+        cache0 = jnp.take_along_axis(
+            wtab, jnp.clip(depth0, 0, D_TAB - 1)[:, None], axis=1)[:, 0]
+        vp = jnp.where(probs_p > NEG / 2, probs_p, jnp.nan)
+        spread = jnp.nanmax(vp, 1) - jnp.nanmin(vp, 1)
+        max_abs = jnp.nan_to_num(jnp.nanmax(spread), nan=1.0) \
+            * cfg.aln_contrib + 10.0
+        start_temp = jnp.maximum(-max_abs / jnp.log(cfg.init_prob), 1e-5)
+        return (probs_p, winpk, vcount, nt_ixs, ntc, wtab, start_temp,
+                assgn0, depth0, cache0)
+
+    G = genotypes.shape[0]
+    gts_rep = jnp.repeat(genotypes, attempts, axis=0)
+    keys_flat = jax.random.split(key, G * attempts)
+    return jax.vmap(one_chain)(keys_flat, gts_rep)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "n_attempts", "max_windows", "random_init",
+                     "n_steps"))
+def solve_genotypes_pallas(key, genotypes, hap_prob, hap_mid, unmapped_prob,
+                           pack_nwin, pack_regstart, pack_len, gc_at,
+                           weight_at, bayes, cfg: SolverConfig,
+                           n_attempts: int, max_windows: int,
+                           n_steps: int | None = None,
+                           random_init: bool = True):
+    """Pallas counterpart of ops.solver.solve_genotypes.
+    Returns (liks [G, A], assignments [G, A, R] in PERMUTED slot space —
+    see _prepare_chains; use liks for ranking)."""
+    TB = 128
+    G = genotypes.shape[0]
+    C = G * n_attempts
+    pad = (-C) % TB
+    n_steps = n_steps or (cfg.anneal_steps + cfg.polish_steps)
+
+    kp, kk = jax.random.split(key)
+    (probs, winpk, vcount, nt_ixs, ntc, wtab, start_temp, assgn0, depth0,
+     cache0) = _prepare_chains(
+        kp, genotypes, n_attempts, hap_prob, hap_mid, unmapped_prob,
+        pack_nwin, pack_regstart, pack_len, gc_at, weight_at, bayes, cfg,
+        max_windows, random_init)
+    if pad:
+        def padc(x):
+            return jnp.concatenate(
+                [x, jnp.repeat(x[-1:], pad, axis=0)], axis=0)
+        (probs, winpk, vcount, nt_ixs, ntc, wtab, start_temp, assgn0,
+         depth0, cache0) = map(
+            padc, (probs, winpk, vcount, nt_ixs, ntc, wtab, start_temp,
+                   assgn0, depth0, cache0))
+    Cp = C + pad
+    R, K = probs.shape[1], probs.shape[2]
+    W = wtab.shape[1]
+
+    # 2D feeds, chain axis on lanes.
+    probs_t = jnp.transpose(probs, (2, 1, 0)).reshape(K * R, Cp)
+    winpk_t = jnp.transpose(winpk, (2, 1, 0)).reshape(K * R, Cp)
+    vcount_t = jnp.transpose(vcount, (1, 0))
+    nt_t = jnp.transpose(nt_ixs, (1, 0))
+    ntc_t = ntc[None, :]
+    wtabf_t = jnp.transpose(wtab, (1, 2, 0)).reshape(W * D_TAB, Cp)
+    assgn0_t = jnp.transpose(assgn0, (1, 0))
+    depth0_t = jnp.transpose(depth0, (1, 0))
+    cache0_t = jnp.transpose(cache0, (1, 0))
+    seed = jax.random.randint(kk, (1,), 0, 2**31 - 1, dtype=jnp.int32)
+    cool = jnp.mean(start_temp)[None].astype(jnp.float32)
+
+    kernel = functools.partial(
+        _kernel, R=R, K=K, W=W, TB=TB, n_steps=n_steps,
+        anneal_steps=cfg.anneal_steps, dc=float(cfg.depth_contrib),
+        ac=float(cfg.aln_contrib))
+    grid = (Cp // TB,)
+
+    def vspec(rows):
+        return pl.BlockSpec((rows, TB), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+
+    lik, assgn = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            vspec(K * R), vspec(K * R), vspec(R), vspec(R), vspec(1),
+            vspec(W * D_TAB), vspec(R), vspec(W), vspec(W),
+        ],
+        out_specs=[vspec(1), vspec(R)],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, Cp), jnp.float32),
+            jax.ShapeDtypeStruct((R, Cp), jnp.int32),
+        ],
+    )(seed, cool, probs_t, winpk_t, vcount_t, nt_t, ntc_t, wtabf_t,
+      assgn0_t, depth0_t, cache0_t)
+    liks = lik[0, :C].reshape(G, n_attempts)
+    assgn = jnp.transpose(assgn[:, :C], (1, 0)).reshape(G, n_attempts, R)
+    return liks, assgn

@@ -162,7 +162,7 @@ def estimate_bg_from_sim(reads1, reads2, region_seq, region_counter,
             mates.append(reads2[i])
             mate_read.append(i)
             mate_end.append(1)
-    cands = [hap_index.candidates(m, 10, 48, 2, 2) for m in mates]
+    cands = hap_index.candidates_batch(mates, 10, 48, 2, 2)
     aln_lists = _align_candidates(mates, cands, cset, score_vec, 48)
 
     # Pick the best alignment per mate.
