@@ -297,6 +297,8 @@ def solve_genotypes_pallas(key, genotypes, hap_prob, hap_mid, unmapped_prob,
     lik, assgn = pl.pallas_call(
         kernel,
         grid=grid,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),

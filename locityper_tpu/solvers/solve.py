@@ -42,19 +42,19 @@ def _parse_size(s: str) -> int:
 class Stage:
     """One solver stage (solve.rs:138-203): SOLVER[:param=value,...].
 
-    engine "seq" (default) runs the sequential chain (ops/solver.py, one
-    move per step, reference semantics — measured 203 ms/gt for 8×30k-step
-    chains on v5e); "batched" runs the synchronous batched-move solver
-    (ops/solver_batched.py) — higher proposal throughput but needs more
-    proposals per unit of progress, so wall-clock is comparable.  Both
-    provably reach the ILP optimum (tests/test_ilp.py).
+    engine "auto" (default) resolves to the Pallas chains-in-lanes kernel
+    on TPU (ops/solver_pallas.py, 7.6 ms/gt measured — 27× the XLA chain)
+    and the XLA sequential chain on CPU (Pallas interpret mode has no PRNG).
+    Explicit options: "pallas", "seq" (reference semantics, 203 ms/gt on
+    v5e), "batched" (synchronous batched moves).  All three provably reach
+    the exact ILP optimum (tests/test_ilp.py).
     """
     kind: str                    # "greedy" | "anneal"
     in_size: int = 1000
     attempts: int = 20
     anneal_steps: int = 20000
     polish_steps: int = 10000
-    engine: str = "seq"
+    engine: str = "auto"
     batched_steps: int = 1000
     batched_anneal: int = 500
 
@@ -268,6 +268,25 @@ def produce_result(ixs, predictions: dict, genotypes, tag: str,
                       total_reads=total_reads)
 
 
+def _unpermute_assignments(assgns, gts, tensors, params):
+    """assgns [Gc, A, R] in permuted slots -> original slots (the
+    permutation is deterministic: valid-first stable order)."""
+    out = np.empty_like(assgns)
+    for gi, gt in enumerate(gts):
+        h1, h2 = int(gt[0]), int(gt[1])
+        p1 = tensors.hap_prob[h1]
+        p2 = tensors.hap_prob[h2]
+        probs = np.concatenate([p1, p2, tensors.unmapped_prob[:, None]], 1)
+        best = np.maximum(np.maximum(p1.max(1), p2.max(1)),
+                          tensors.unmapped_prob)
+        valid = probs >= (best - params.prob_diff)[:, None]
+        vorder = np.argsort(~valid, axis=-1, kind="stable")
+        R = probs.shape[0]
+        for a in range(assgns.shape[1]):
+            out[gi, a] = vorder[np.arange(R), assgns[gi, a]]
+    return out
+
+
 def solve_locus(tensors: LocusTensors, pack: ContigInfoPack, bg_distr,
                 genotypes: np.ndarray, priors: np.ndarray, params: Params,
                 scheme: Scheme, key, tag: str = "locus",
@@ -316,7 +335,21 @@ def solve_locus(tensors: LocusTensors, pack: ContigInfoPack, bg_distr,
             anneal_steps_b=stage.batched_anneal,
         )
         random_init = stage.kind == "anneal"
-        if stage.engine == "batched":
+        engine = stage.engine
+        if engine == "auto":
+            engine = "pallas" if jax.default_backend() != "cpu" else "seq"
+        if engine == "pallas":
+            from ..ops.solver_pallas import solve_genotypes_pallas
+
+            def run_solver(key_, gts_):
+                return solve_genotypes_pallas(
+                    key_, gts_, tensors.hap_prob, tensors.hap_mid,
+                    tensors.unmapped_prob, pack.n_windows, pack.reg_start,
+                    pack.contig_len, pack.gc_at, pack.weight_at, bayes, cfg,
+                    n_attempts=stage.attempts, max_windows=pack.max_windows,
+                    n_steps=cfg.anneal_steps + cfg.polish_steps,
+                    random_init=random_init)
+        elif engine == "batched":
             from ..ops.solver_batched import solve_genotypes_batched
 
             def run_solver(key_, gts_):
@@ -351,6 +384,11 @@ def solve_locus(tensors: LocusTensors, pack: ContigInfoPack, bg_distr,
             final_stage = out_size is None
             if final_stage:
                 assgns = np.asarray(assgns)
+                if engine == "pallas":
+                    # Pallas assignments live in the valid-first permuted
+                    # slot space; map back to original candidate slots.
+                    assgns = _unpermute_assignments(assgns, genotypes[chunk],
+                                                    tensors, params)
             if pad:
                 liks = liks[:chunk.size]
             for gi, (row, ix) in enumerate(zip(liks, chunk.tolist())):
