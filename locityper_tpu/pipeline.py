@@ -106,6 +106,15 @@ def genotype_locus(locus: LocusData, read_pairs, names, bg: BgDistr,
     if result.ln_probs.size and (np.isnan(result.ln_probs[0])
                                  or result.ln_probs[0] < -2.0 * np.log(10.0)):
         result.warnings.append("NoProbableGenotype")
+    # Read-count sanity (check_num_of_reads, solve.rs:636-665).
+    n_reads = len(all_alns.reads)
+    if n_reads < ploidy:
+        result.warnings.append(f"FewReads({n_reads})")
+    elif ploidy > 1 and n_reads < ploidy * 10:
+        k, n = float(ploidy), float(n_reads)
+        exp_zeros = np.exp(np.log(k - 1.0) * n - np.log(k) * (n - 1.0))
+        if exp_zeros > 0.1:
+            result.warnings.append(f"FewReads({n_reads})")
 
     if sam_dir is not None and params.out_bams > 0:
         from .model.sam import write_sam
