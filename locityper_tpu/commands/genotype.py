@@ -158,6 +158,50 @@ def recruit_reads(loci: dict, read_iter, recruit_params: RecruitParams,
     return out, speed
 
 
+def recruit_reads_fast(loci: dict, path1, path2, recruit_params: RecruitParams,
+                       subsample=None, seed=0, batch=4096, max_len=192):
+    """Native-parser + device-kernel recruitment for paired FASTQ inputs:
+    the whole path from bytes to per-locus read lists avoids per-read
+    Python.  Returns ({locus: (read_pairs, names)}, reads/s)."""
+    from ..ops.recruit import DeviceIndex, run_pairs
+    from ..seq.fastx import fast_paired_batches
+
+    index = TargetIndex(recruit_params)
+    order = list(loci)
+    for name in order:
+        index.add_locus(loci[name].contig_set, loci[name].kmer_counts)
+    index.finalize()
+    dev = DeviceIndex.from_index(index)
+    logger.info("Recruitment index: %d minimizers over %d loci (device)",
+                index.keys.size, index.n_loci)
+    out = {name: ([], []) for name in order}
+    progress = Progress(logger, "reads")
+    rng = np.random.default_rng(seed)
+    for names, m1, l1, m2, l2, count in fast_paired_batches(
+            path1, path2, batch=batch, max_len=max_len):
+        if subsample is not None:
+            keep = rng.random(count) < subsample
+        else:
+            keep = None
+        hits = run_pairs(dev, m1, m2)
+        rec = 0
+        for i in range(count):
+            if keep is not None and not keep[i]:
+                continue
+            row = np.nonzero(hits[i])[0]
+            if row.size:
+                rec += 1
+                c1 = m1[i, :l1[i]].copy()
+                c2 = m2[i, :l2[i]].copy()
+                for locus_ix in row:
+                    pairs, nms = out[order[locus_ix]]
+                    pairs.append((c1, c2))
+                    nms.append(names[i])
+        progress.add(count, rec)
+    speed = progress.final()
+    return out, speed
+
+
 def _read_iter(inputs, interleaved):
     if len(inputs) == 2:
         for r1, r2 in fastx.read_pairs(inputs[0], inputs[1]):
@@ -193,9 +237,14 @@ def run(args):
 
     rp = RecruitParams(
         match_frac=tech.default_match_frac(bg.insert_distr.is_paired_end))
-    recruited, _ = recruit_reads(
-        loci, _read_iter(args.input, args.interleaved), rp,
-        subsample=args.subsample, seed=args.seed)
+    if len(args.input) == 2 and tech.are_short_reads:
+        recruited, _ = recruit_reads_fast(
+            loci, args.input[0], args.input[1], rp,
+            subsample=args.subsample, seed=args.seed)
+    else:
+        recruited, _ = recruit_reads(
+            loci, _read_iter(args.input, args.interleaved), rp,
+            subsample=args.subsample, seed=args.seed)
 
     if args.stop_after == "recruit":
         from ..seq.fastx import write_fastq, Read

@@ -55,7 +55,8 @@ def get_lib():
                                  ctypes.c_int32, i64p, u32p, u8p]
     lib.minimizers32.restype = ctypes.c_int64
     lib.parse_fastq.argtypes = [u8p, ctypes.c_int64, ctypes.c_int32,
-                                ctypes.c_int64, i8p, i32p, i64p, i32p]
+                                ctypes.c_int64, i8p, i32p, i64p, i32p,
+                                ctypes.POINTER(ctypes.c_int64)]
     lib.parse_fastq.restype = ctypes.c_int64
     lib.fastq_complete_prefix.argtypes = [u8p, ctypes.c_int64]
     lib.fastq_complete_prefix.restype = ctypes.c_int64
@@ -100,9 +101,10 @@ def parse_fastq_buffer(buf: bytes, max_len: int, max_reads: int):
     lens = np.empty(max_reads, np.int32)
     name_off = np.empty(max_reads, np.int64)
     name_len = np.empty(max_reads, np.int32)
+    consumed_c = ctypes.c_int64(0)
     cnt = lib.parse_fastq(arr, n, max_len, max_reads, codes.reshape(-1),
-                          lens, name_off, name_len)
+                          lens, name_off, name_len,
+                          ctypes.byref(consumed_c))
     names = [buf[name_off[i]:name_off[i] + name_len[i]].decode()
              for i in range(cnt)]
-    consumed = lib.fastq_complete_prefix(arr, n)
-    return codes[:cnt], lens[:cnt], names, int(consumed)
+    return codes[:cnt], lens[:cnt], names, int(consumed_c.value)

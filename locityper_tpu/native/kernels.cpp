@@ -148,10 +148,14 @@ int64_t minimizers32(const int8_t* codes, int64_t n, int32_t k, int32_t w,
 // ---------------------------------------------------------------------------
 int64_t parse_fastq(const uint8_t* buf, int64_t n, int32_t max_len,
                     int64_t max_reads, int8_t* out_codes, int32_t* out_lens,
-                    int64_t* out_name_off, int32_t* out_name_len) {
+                    int64_t* out_name_off, int32_t* out_name_len,
+                    int64_t* consumed_out) {
     init_enc();
     int64_t i = 0, r = 0;
+    if (consumed_out) *consumed_out = 0;
     while (i < n && r < max_reads) {
+        int64_t rec_start = i;
+        (void)rec_start;
         if (buf[i] != '@') break;
         int64_t name_start = i + 1;
         while (i < n && buf[i] != '\n') i++;
@@ -182,6 +186,7 @@ int64_t parse_fastq(const uint8_t* buf, int64_t n, int32_t max_len,
         out_name_off[r] = name_start;
         out_name_len[r] = (int32_t)(name_end - name_start);
         r++;
+        if (consumed_out) *consumed_out = i;
     }
     return r;
 }

@@ -113,6 +113,85 @@ def mean_read_len(path, max_reads: int = 1000) -> float:
     return total / max(n, 1)
 
 
+def fast_paired_batches(path1, path2, batch: int = 4096, max_len: int = 192):
+    """Streams paired FASTQ files as dense batches using the native C++
+    parser (locityper_tpu/native): yields (names, m1 [B, max_len] int8,
+    lens1, m2, lens2, count).  Decompression stays in Python (zlib C under
+    the hood); record parsing and encoding run natively.  Falls back to the
+    Python reader when the native library is unavailable."""
+    from .. import native
+    if not native.available():
+        names, r1s, r2s = [], [], []
+        for r1, r2 in read_pairs(path1, path2):
+            names.append(r1.name)
+            r1s.append(r1.seq)
+            r2s.append(r2.seq)
+            if len(names) == batch:
+                yield _pack_pairs(names, r1s, r2s, max_len)
+                names, r1s, r2s = [], [], []
+        if names:
+            yield _pack_pairs(names, r1s, r2s, max_len)
+        return
+
+    from ..utils.io import smart_open_bytes
+
+    def chunks(path):
+        buf = b""
+        with smart_open_bytes(path) as f:
+            while True:
+                data = f.read(1 << 22)
+                if not data and not buf:
+                    return
+                buf += data
+                codes, lens, names, consumed = native.parse_fastq_buffer(
+                    buf, max_len, batch * 4)
+                if consumed == 0 and not data:
+                    return
+                buf = buf[consumed:]
+                for i in range(len(names)):
+                    yield names[i], codes[i], lens[i]
+
+    it1, it2 = chunks(path1), chunks(path2)
+    names, m1l, l1l, m2l, l2l = [], [], [], [], []
+    for (n1, c1, L1), (n2, c2, L2) in zip(it1, it2):
+        names.append(n1)
+        m1l.append(c1)
+        l1l.append(L1)
+        m2l.append(c2)
+        l2l.append(L2)
+        if len(names) == batch:
+            yield (names, np.stack(m1l), np.array(l1l, np.int32),
+                   np.stack(m2l), np.array(l2l, np.int32), batch)
+            names, m1l, l1l, m2l, l2l = [], [], [], [], []
+    if names:
+        # Pad the final partial batch to the full batch shape so device
+        # kernels see one stable shape.
+        n = len(names)
+        m1 = np.full((batch, max_len), 4, np.int8)
+        m2 = np.full((batch, max_len), 4, np.int8)
+        m1[:n] = np.stack(m1l)
+        m2[:n] = np.stack(m2l)
+        l1 = np.zeros(batch, np.int32)
+        l2 = np.zeros(batch, np.int32)
+        l1[:n] = l1l
+        l2[:n] = l2l
+        yield (names, m1, l1, m2, l2, n)
+
+
+def _pack_pairs(names, r1s, r2s, max_len):
+    n = len(names)
+    m1 = np.full((n, max_len), 4, np.int8)
+    m2 = np.full((n, max_len), 4, np.int8)
+    l1 = np.zeros(n, np.int32)
+    l2 = np.zeros(n, np.int32)
+    for i, (a, b) in enumerate(zip(r1s, r2s)):
+        L1, L2 = min(a.size, max_len), min(b.size, max_len)
+        m1[i, :L1] = a[:L1]
+        m2[i, :L2] = b[:L2]
+        l1[i], l2[i] = L1, L2
+    return names, m1, l1, m2, l2, n
+
+
 def batchify(reads: list[np.ndarray], batch: int, max_len: int,
              pad_to_batch: bool = True):
     """Packs variable-length code arrays into dense [B, max_len] int8 batches

@@ -230,3 +230,20 @@ class TestPreprocLike:
         m0 = bg0.depth.depth_distribution(45).mean()
         m1 = bg1.depth.depth_distribution(45).mean()
         assert m1 == pytest.approx(m0, rel=1e-6)
+
+
+class TestFastBatches:
+    def test_matches_python_reader(self, world):
+        from locityper_tpu.seq.fastx import fast_paired_batches, read_pairs
+        got = []
+        for names, m1, l1, m2, l2, count in fast_paired_batches(
+                world["r1"], world["r2"], batch=256, max_len=192):
+            for i in range(count):
+                got.append((names[i], m1[i, :l1[i]].copy(), m2[i, :l2[i]].copy()))
+        want = [(a.name, a.seq, b.seq)
+                for a, b in read_pairs(world["r1"], world["r2"])]
+        assert len(got) == len(want)
+        for (gn, g1, g2), (wn, w1, w2) in zip(got[:200], want[:200]):
+            assert gn == wn
+            assert np.array_equal(g1, w1)
+            assert np.array_equal(g2, w2)
