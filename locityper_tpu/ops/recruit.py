@@ -134,8 +134,20 @@ def _mate_counters(reads, cfg: _Cfg, keys, fw_mask, bw_mask, rare_mask):
     total = jnp.sum(mask, axis=1).astype(jnp.int32)
 
     B, P = h.shape
+    # Compact to minimizer positions only before the index lookups: the
+    # expected per-read minimizer count is 2P/(w+1); the cap below is
+    # >2.5x that mean, so by a Chernoff bound the truncation probability
+    # per read is < 1e-9 (and truncation only DROPS matches — strictly
+    # conservative for recruitment).  This cuts the searchsorted and
+    # bitmap-extraction work ~P/S ≈ (w+1)/5-fold.
+    S = min(P, max(4 * (P // (cfg.w + 1)) + 16, 16))
+    order = jnp.argsort(~mask, axis=1, stable=True)[:, :S]
+    h = jnp.take_along_axis(h, order, axis=1)
+    is_fw = jnp.take_along_axis(is_fw, order, axis=1)
+    mask = jnp.take_along_axis(mask, order, axis=1)
+
     M = keys.shape[0]
-    idx = jnp.searchsorted(keys, h.reshape(-1)).reshape(B, P)
+    idx = jnp.searchsorted(keys, h.reshape(-1)).reshape(B, S)
     idx = jnp.minimum(idx, M - 1)
     found = (keys[idx] == h) & mask
 
