@@ -14,6 +14,7 @@ from pathlib import Path
 import numpy as np
 
 from ..ops import align as A
+from ..ops import traceback as T
 from ..seq import fastx
 from ..seq.kmers import jaccard_distance, minimizers, sorted_minimizer_set
 from ..utils.io import smart_create
@@ -57,34 +58,43 @@ def consensus_diagonal(seq1, seq2, k=15, w=10):
 
 
 def align_pair(seq1, seq2, score_vec, band):
-    """Aligns seq1 (query) against seq2 (target) at the consensus diagonal."""
+    """Aligns seq1 (query) against seq2 (target) at the consensus diagonal
+    with full traceback (host kernel, ops/traceback.py — the WFA/cigar role
+    of dist.rs:195-243)."""
     diag = consensus_diagonal(seq1, seq2)
     if diag is None:
         return None
     L = seq1.size
+    base = diag - band // 2
     # The window covers seq2 with the consensus diagonal centered in the band.
-    win = A.extract_windows(seq2, np.array([diag - band // 2]), L + band)[0]
-    reads = seq1[None, :].astype(np.int8)
-    res = A.align_batch(reads, np.array([L], np.int32), win[None, :],
-                        score_vec, band=band)
-    out = {k: int(np.asarray(v)[0]) if np.asarray(v).dtype != np.float32
-           else float(np.asarray(v)[0]) for k, v in res.items()}
-    out["t_start"] = diag - band // 2 + out["start_p"]
-    out["t_end"] = diag - band // 2 + out["end_p"]
-    return out
+    win = A.extract_windows(seq2, np.array([base]), L + band)[0]
+    out = T.align_cigar(seq1, win, band, score_vec)
+    if out is None:
+        return None
+    ops, lens, info, score = out
+    start_p, end_p, n_mism, n_ins, n_del, n_clip = (int(x) for x in info)
+    # Trim CIGAR head/tail soft-clip into query interval; clamp the target
+    # interval to real sequence (the window pads outside with 4s).
+    q_start = int(lens[0]) if len(ops) and ops[0] == 4 else 0
+    q_end = L - (int(lens[-1]) if len(ops) and ops[-1] == 4 else 0)
+    return dict(ops=ops, lens=lens, score=score, n_mism=n_mism, n_ins=n_ins,
+                n_del=n_del, n_clip=n_clip, q_start=q_start, q_end=q_end,
+                t_start=base + start_p, t_end=base + end_p)
 
 
 def paf_row(name1, seq1, name2, seq2, r):
     L1, L2 = seq1.size, seq2.size
-    matches = L1 - r["n_mism"] - r["n_ins"] - r["n_clip"]
+    matches = (r["q_end"] - r["q_start"]) - r["n_mism"] - r["n_ins"]
     aln_len = matches + r["n_mism"] + r["n_ins"] + r["n_del"]
     edit = r["n_mism"] + r["n_ins"] + r["n_del"]
     dv = edit / max(aln_len, 1)
-    q_start = 0
-    q_end = L1 - r["n_clip"]
-    return (f"{name1}\t{L1}\t{q_start}\t{q_end}\t+\t{name2}\t{L2}"
+    # cg:Z: excludes soft-clips (PAF convention: query interval covers them).
+    cg = "".join(f"{int(l)}{T.OP_CHARS[int(o)]}"
+                 for o, l in zip(r["ops"], r["lens"]) if int(o) != 4)
+    return (f"{name1}\t{L1}\t{r['q_start']}\t{r['q_end']}\t+\t{name2}\t{L2}"
             f"\t{max(r['t_start'], 0)}\t{min(r['t_end'], L2)}\t{matches}"
-            f"\t{aln_len}\t60\tNM:i:{edit}\tdv:f:{dv:.6f}")
+            f"\t{aln_len}\t60\tNM:i:{edit}\tAS:f:{r['score']:.2f}"
+            f"\tdv:f:{dv:.6f}\tcg:Z:{cg}")
 
 
 def run(args):

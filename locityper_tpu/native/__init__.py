@@ -60,6 +60,12 @@ def get_lib():
     lib.parse_fastq.restype = ctypes.c_int64
     lib.fastq_complete_prefix.argtypes = [u8p, ctypes.c_int64]
     lib.fastq_complete_prefix.restype = ctypes.c_int64
+    f32p = np.ctypeslib.ndpointer(np.float32, flags="C")
+    lib.banded_align_cigar.argtypes = [
+        i8p, ctypes.c_int64, i8p, ctypes.c_int64, ctypes.c_int32, f32p,
+        ctypes.c_int64, i32p, i32p, ctypes.c_int64, i32p,
+        ctypes.POINTER(ctypes.c_float)]
+    lib.banded_align_cigar.restype = ctypes.c_int64
     _lib = lib
     return _lib
 
@@ -89,6 +95,28 @@ def canonical_kmers(codes: np.ndarray, k: int):
     if m:
         lib.canonical_kmers(np.ascontiguousarray(codes), n, k, kmer, valid)
     return kmer, valid.astype(bool)
+
+
+def banded_align_cigar(query: np.ndarray, twin: np.ndarray, band: int,
+                       score_vec: np.ndarray, max_cells: int = 1 << 28):
+    """Native banded traceback alignment.  Returns (ops, lens, info, score)
+    with ops coded 0 '=', 1 'X', 2 'I', 3 'D', 4 'S' and
+    info = [start_p, end_p, n_mism, n_ins, n_del, n_clip]; None on failure
+    (DP too large / op overflow)."""
+    lib = get_lib()
+    qlen = query.size
+    max_ops = 2 * qlen + 16
+    ops = np.empty(max_ops, np.int32)
+    lens = np.empty(max_ops, np.int32)
+    info = np.empty(6, np.int32)
+    score = ctypes.c_float(0.0)
+    n = lib.banded_align_cigar(
+        np.ascontiguousarray(query), qlen, np.ascontiguousarray(twin),
+        twin.size, band, np.ascontiguousarray(score_vec, np.float32),
+        max_cells, ops, lens, max_ops, info, ctypes.byref(score))
+    if n < 0:
+        return None
+    return ops[:n], lens[:n], info, float(score.value)
 
 
 def parse_fastq_buffer(buf: bytes, max_len: int, max_reads: int):

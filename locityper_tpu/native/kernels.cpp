@@ -191,6 +191,135 @@ int64_t parse_fastq(const uint8_t* buf, int64_t n, int32_t max_len,
     return r;
 }
 
+// ---------------------------------------------------------------------------
+// Banded ML alignment WITH traceback (host twin of ops/align.py _align_one;
+// reference role: WFA2-lib seq/wfa.rs + cigar.rs — CIGAR production for
+// PAF/SAM output).  Same recurrence and tie-breaking as the device kernel:
+//   band offset j in [0, band): read prefix i consumed -> target prefix i+j
+//   row 0 free (glocal start), moves diag/ins/clip-start, then a within-row
+//   deletion pass; end folds (qlen-i)*clip tail soft-clip.
+// Tie-breaking parity: diag > ins > clip (strict > to replace); deletion
+// taken only when strictly better than the local base (no_del restore).
+//
+// Outputs extended-CIGAR ops (0 '=', 1 'X', 2 'I', 3 'D', 4 'S') and the
+// same payload vector as the device kernel.  Returns #ops, or -1 when the
+// DP exceeds max_cells / op buffer.
+// ---------------------------------------------------------------------------
+static const float NEG_SCORE = -1e30f;
+
+int64_t banded_align_cigar(const int8_t* query, int64_t qlen,
+                           const int8_t* twin, int64_t wlen,
+                           int32_t band, const float* sc,
+                           int64_t max_cells,
+                           int32_t* out_ops, int32_t* out_lens,
+                           int64_t max_ops,
+                           int32_t* out_info, float* out_score) {
+    if (qlen <= 0 || band <= 0 || wlen < qlen + band) return -1;
+    if ((qlen + 1) * (int64_t)band > max_cells) return -1;
+    const float m_sc = sc[0], x_sc = sc[1], i_sc = sc[2], d_sc = sc[3],
+                c_sc = sc[4];
+
+    float* prev = new float[band];
+    float* cur = new float[band];
+    // Per-cell backpointers: base move (2 bits) | del jump << 2.
+    uint16_t* bp = new uint16_t[(qlen + 1) * (int64_t)band];
+    for (int32_t j = 0; j < band; j++) prev[j] = 0.0f;
+
+    float best_score = NEG_SCORE;
+    int64_t best_i = 0;
+    int32_t best_j = 0;
+
+    for (int64_t i = 1; i <= qlen; i++) {
+        int8_t r_c = query[i - 1];
+        uint16_t* brow = bp + i * (int64_t)band;
+        const float clip_s = c_sc * (float)i;
+        for (int32_t j = 0; j < band; j++) {
+            int8_t h_c = twin[i - 1 + j];
+            float sub = (h_c < 4 && r_c < 4)
+                            ? (r_c == h_c ? m_sc : x_sc) : NEG_SCORE;
+            float s = prev[j] + sub;           // diag
+            uint16_t mv = 0;
+            float ins_s = (j + 1 < band ? prev[j + 1] : NEG_SCORE) + i_sc;
+            if (ins_s > s) { s = ins_s; mv = 1; }
+            if (clip_s > s) { s = clip_s; mv = 2; }
+            cur[j] = s;
+            brow[j] = mv;
+        }
+        // Within-row deletion pass (max-plus prefix scan, ties keep base).
+        float run = cur[0] - 0.0f;  // adjusted[0]
+        int32_t origin = 0;
+        for (int32_t j = 1; j < band; j++) {
+            float adj = cur[j] - (float)j * d_sc;
+            if (adj >= run) { run = adj; origin = j; }
+            else {
+                int32_t dj = j - origin;
+                cur[j] = run + (float)j * d_sc;
+                brow[j] = (uint16_t)(brow[origin] | ((uint32_t)dj << 2));
+            }
+        }
+        // Fold tail clip.
+        const float end_bonus = c_sc * (float)(qlen - i);
+        for (int32_t j = 0; j < band; j++) {
+            float cand = cur[j] + end_bonus;
+            if (cand > best_score) { best_score = cand; best_i = i; best_j = j; }
+        }
+        float* t = prev; prev = cur; cur = t;
+    }
+
+    // Traceback from (best_i, best_j); ops emitted reversed, RLE on the fly.
+    int64_t n_ops = 0;
+    int32_t n_mism = 0, n_ins = 0, n_del = 0, n_clip = 0;
+    int32_t start_p = 0, end_p = (int32_t)(best_i + best_j);
+    bool fail = best_score <= NEG_SCORE / 2;
+
+    // push-front helper (we reverse at the end).
+    #define PUSH(op, len) do { \
+        if (n_ops > 0 && out_ops[n_ops - 1] == (op)) out_lens[n_ops - 1] += (len); \
+        else if (n_ops < max_ops) { out_ops[n_ops] = (op); out_lens[n_ops] = (len); n_ops++; } \
+        else { fail = true; } \
+    } while (0)
+
+    if (!fail) {
+        if (best_i < qlen) { PUSH(4, (int32_t)(qlen - best_i)); n_clip += (int32_t)(qlen - best_i); }
+        int64_t i = best_i;
+        int32_t j = best_j;
+        while (i > 0 && !fail) {
+            uint16_t cell = bp[i * (int64_t)band + j];
+            int32_t dj = cell >> 2;
+            if (dj > 0) { PUSH(3, dj); n_del += dj; j -= dj; cell = bp[i * (int64_t)band + j]; }
+            uint16_t mv = cell & 3;
+            if (mv == 0) {
+                bool mism = query[i - 1] != twin[i - 1 + j];
+                PUSH(mism ? 1 : 0, 1);
+                if (mism) n_mism++;
+                i--;
+            } else if (mv == 1) {
+                PUSH(2, 1); n_ins++;
+                i--; j++;
+            } else {  // clip-start: first i bases of the read soft-clipped
+                PUSH(4, (int32_t)i); n_clip += (int32_t)i;
+                start_p = (int32_t)(i + j);
+                i = 0; j = -1;  // j unused past here
+            }
+        }
+        if (j >= 0) start_p = j;
+    }
+    #undef PUSH
+
+    delete[] prev; delete[] cur; delete[] bp;
+    if (fail) return -1;
+    // Reverse the op list in place.
+    for (int64_t a = 0, b = n_ops - 1; a < b; a++, b--) {
+        int32_t t1 = out_ops[a]; out_ops[a] = out_ops[b]; out_ops[b] = t1;
+        int32_t t2 = out_lens[a]; out_lens[a] = out_lens[b]; out_lens[b] = t2;
+    }
+    out_info[0] = start_p; out_info[1] = end_p;
+    out_info[2] = n_mism; out_info[3] = n_ins;
+    out_info[4] = n_del; out_info[5] = n_clip;
+    *out_score = best_score;
+    return n_ops;
+}
+
 // Bytes consumed by complete FASTQ records within buf[0..n) (for chunked IO).
 int64_t fastq_complete_prefix(const uint8_t* buf, int64_t n) {
     int64_t i = 0, last_complete = 0;

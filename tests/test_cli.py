@@ -155,6 +155,34 @@ class TestAlignCmd:
         assert len(rows) == 10  # 5 choose 2
         for r in rows:
             assert int(r[9]) > 3000  # matches: haps are 98.5% identical
+            cg = [t for t in r[12:] if t.startswith("cg:Z:")]
+            assert cg, "PAF rows must carry extended CIGARs"
+            # CIGAR consumes exactly the query and target intervals.
+            import re
+            q_span = t_span = 0
+            for ln, op in re.findall(r"(\d+)([=XID])", cg[0][5:]):
+                if op in "=XI":
+                    q_span += int(ln)
+                if op in "=XD":
+                    t_span += int(ln)
+            assert q_span == int(r[3]) - int(r[2])
+            assert t_span == int(r[8]) - int(r[7])
+
+    def test_paf_vcf_roundtrip(self, world, tmp_path):
+        """Our own align output feeds our own paf-vcf (dist.rs -> paf_vcf.rs
+        chain parity)."""
+        paf = tmp_path / "haps.paf"
+        rc = cli.main(["align", "-i", str(world["haps_fa"]), "-o", str(paf),
+                       "--max-div", "1.0"])
+        assert rc == 0
+        vcf = tmp_path / "haps.vcf"
+        rc = cli.main(["paf-vcf", "-i", str(paf), "-q", str(world["haps_fa"]),
+                       "-t", str(world["haps_fa"]), "-o", str(vcf)])
+        assert rc == 0
+        recs = [l for l in open(vcf).read().splitlines()
+                if l and not l.startswith("#")]
+        # ~1.5%-mutated 4kb haps, 10 pairs: plenty of SNVs recovered.
+        assert len(recs) > 100
 
 
 class TestPruneCmd:
