@@ -238,6 +238,7 @@ class MateAln:
     n_ins: int = 0
     n_del: int = 0
     n_clip: int = 0
+    ws: int = 0        # window start used by the banded DP (for traceback)
 
     @property
     def middle(self) -> int:
@@ -251,6 +252,8 @@ class PairCand:
     ln_prob: float
     middle1: int       # -1 = mate unmapped
     middle2: int
+    aln1: object = None    # MateAln of mate 1 (None = unmapped)
+    aln2: object = None
 
 
 @dataclass
@@ -260,6 +263,7 @@ class ReadAlns:
     weight: float
     unmapped_prob: float
     cands: list        # list[PairCand], sorted by hap then desc prob
+    read_ix: int = -1  # index into the original read_pairs list
 
     def best_at_hap(self, hap: int, default: float) -> float:
         best = default
@@ -337,6 +341,7 @@ def _align_candidates(mates, cand_lists, contig_set, score_vec, band, batch=2048
                 n_ins=int(res["n_ins"][i]),
                 n_del=int(res["n_del"][i]),
                 n_clip=int(res["n_clip"][i]),
+                ws=int(win_starts[i]),
             ))
     return results
 
@@ -375,15 +380,15 @@ def _pair_candidates(alns1, alns2, n_haps, insert_distr, params, weight):
                     if np.isfinite(p):
                         max1[id(x)] = max(max1[id(x)], p)
                         max2[id(y)] = max(max2[id(y)], p)
-                        local.append(PairCand(hp, p, x.middle, y.middle))
+                        local.append(PairCand(hp, p, x.middle, y.middle, x, y))
         for x in a1:
             alone = x.ln_prob + unm_ins_penalty
             if alone >= max1[id(x)]:
-                local.append(PairCand(hp, alone, x.middle, -1))
+                local.append(PairCand(hp, alone, x.middle, -1, x, None))
         for y in a2:
             alone = y.ln_prob + unm_ins_penalty
             if alone >= max2[id(y)]:
-                local.append(PairCand(hp, alone, -1, y.middle))
+                local.append(PairCand(hp, alone, -1, y.middle, None, y))
         local.sort(key=lambda c: -c.ln_prob)
         thresh = local[0].ln_prob - params.prob_diff
         kept = [c for c in local[:max_alns] if c.ln_prob >= thresh]
@@ -402,7 +407,7 @@ def _single_candidates(alns1, n_haps, params, weight):
         thresh = a1[0].ln_prob - params.prob_diff
         for a in a1[:max_alns]:
             if a.ln_prob >= thresh:
-                cands.append(PairCand(hp, a.ln_prob, a.middle, -1))
+                cands.append(PairCand(hp, a.ln_prob, a.middle, -1, a, None))
     return cands
 
 
@@ -497,7 +502,7 @@ def build_all_alignments(read_pairs, names, contig_set: ContigSet,
             cand.ln_prob *= weight
         cands.sort(key=lambda cnd: (cnd.hap, -cnd.ln_prob))
         stats["n_alns"] += len(cands)
-        ra = ReadAlns(names[r], weight, unmapped, cands)
+        ra = ReadAlns(names[r], weight, unmapped, cands, read_ix=r)
         if weight >= params.min_weight:
             reads.append(ra)
         else:

@@ -2,44 +2,86 @@
 
 Counterpart of reference model/bam.rs (which writes BAM via htslib; this
 sandbox has no htslib/pysam, so we emit spec-conformant SAM that samtools
-can convert).  Each recruited read is reported at its most frequently chosen
-location across solver attempts, with:
+can convert).  Each recruited read pair is reported at its most frequently
+chosen location across solver attempts, one record per mapped mate, with:
+    CIGAR from the host traceback kernel re-run at the stored window
+          (ops/traceback.py; exact same DP as the scoring kernel)
     MAPQ  from the assignment frequency (count_to_prob, bam.rs:54)
     XF:f  fraction of attempts choosing this location
     XW:f  read weight
-Positions are the alignment middles tracked by the model (full per-base
-CIGARs are a host-side traceback planned for the next round; the likelihood
-model never needs them, SURVEY.md §7).
 """
 from __future__ import annotations
 
 import numpy as np
 
+from ..ops import align as A
+from ..ops import traceback as T
+from ..seq import dna
 from ..utils.io import smart_create
+
+_SAM_OPS = "=XIDS"
 
 
 def assignment_frequencies(assignments: np.ndarray, n_slots: int):
     """assignments [A, R] slot indices -> (top_slot [R], freq [R])."""
-    A, R = assignments.shape
+    A_, R = assignments.shape
     counts = np.zeros((R, n_slots), np.int32)
-    for a in range(A):
+    for a in range(A_):
         counts[np.arange(R), assignments[a]] += 1
     top = counts.argmax(axis=1)
-    freq = counts[np.arange(R), top] / A
+    freq = counts[np.arange(R), top] / A_
     return top, freq
 
 
+def _slot_to_cand(ra, hap: int, k: int, kh: int):
+    """Replays LocusTensors.build's slot assignment to find the PairCand
+    behind (hap, slot k)."""
+    s = 0
+    for c in ra.cands:
+        if c.hap != hap:
+            continue
+        if s == k:
+            return c
+        s += 1
+        if s >= kh:
+            break
+    return None
+
+
+def _mate_record(codes, aln, hap_seq, score_vec, band):
+    """Regenerates the mate's CIGAR at the stored window.  Returns
+    (pos0, cigar_str, seq_str, reverse) or None."""
+    if aln is None or codes is None:
+        return None
+    oriented = codes if aln.fwd else dna.revcomp(codes)
+    win = A.extract_windows(hap_seq, np.array([aln.ws]),
+                            oriented.size + band)[0]
+    out = T.align_cigar(oriented, win, band, score_vec)
+    if out is None:
+        return None
+    ops, lens, info, _ = out
+    start_p = int(info[0])
+    cig = "".join(f"{int(l)}{_SAM_OPS[int(o)]}" for o, l in zip(ops, lens))
+    return aln.ws + start_p, cig, dna.decode(oriented), not aln.fwd
+
+
 def write_sam(path, gt, tensors, hap_names, hap_lens, read_names,
-              assignments: np.ndarray, read_weights=None) -> None:
+              assignments: np.ndarray, read_weights=None, all_alns=None,
+              read_pairs=None, hap_seqs=None, score_vec=None,
+              band: int = 48) -> None:
     """Writes one SAM file for genotype `gt` = (h1, h2).
 
     tensors: model.assgn.LocusTensors; assignments: [A, R] final slot per
     attempt from the solver (slot layout: [0..Kh) = h1, [Kh..2Kh) = h2,
-    2Kh = unmapped).
+    2Kh = unmapped).  When `all_alns`/`read_pairs`/`hap_seqs`/`score_vec`
+    are provided, records carry real CIGAR/POS/SEQ re-derived by the host
+    traceback kernel; otherwise positions fall back to alignment middles.
     """
     kh = tensors.kh
     n_slots = 2 * kh + 1
     top, freq = assignment_frequencies(assignments, n_slots)
+    full = (all_alns is not None and read_pairs is not None
+            and hap_seqs is not None and score_vec is not None)
     with smart_create(path) as f:
         f.write("@HD\tVN:1.6\tSO:unsorted\n")
         for h in sorted(set(gt)):
@@ -49,18 +91,51 @@ def write_sam(path, gt, tensors, hap_names, hap_lens, read_names,
             slot = int(top[r])
             p = float(freq[r])
             mapq = min(int(round(-10.0 * np.log10(max(1.0 - p, 1e-6)))), 60)
+            tags = f"XF:f:{p:.3f}"
+            if read_weights is not None:
+                tags += f"\tXW:f:{read_weights[r]:.3f}"
             if slot == 2 * kh:
-                f.write(f"{name}\t4\t*\t0\t0\t*\t*\t0\t0\t*\t*\t"
-                        f"XF:f:{p:.3f}\n")
+                f.write(f"{name}\t4\t*\t0\t0\t*\t*\t0\t0\t*\t*\t{tags}\n")
                 continue
             hap = gt[0] if slot < kh else gt[1]
             k = slot if slot < kh else slot - kh
+            cand = None
+            if full:
+                cand = _slot_to_cand(all_alns.reads[r], hap, k, kh)
+            if cand is not None:
+                c1, c2 = read_pairs[all_alns.reads[r].read_ix]
+                rec1 = _mate_record(c1, cand.aln1, hap_seqs[hap], score_vec,
+                                    band)
+                rec2 = _mate_record(c2, cand.aln2, hap_seqs[hap], score_vec,
+                                    band)
+                paired = c2 is not None
+                for mate_ix, rec, other in ((0, rec1, rec2), (1, rec2, rec1)):
+                    if rec is None:
+                        continue
+                    pos0, cig, seq, rev = rec
+                    flag = 0
+                    if paired:
+                        flag |= 0x1 | (0x40 if mate_ix == 0 else 0x80)
+                        if other is None:
+                            flag |= 0x8
+                        else:
+                            if other[3]:
+                                flag |= 0x20
+                            if other[3] != rev:
+                                flag |= 0x2
+                    if rev:
+                        flag |= 0x10
+                    rnext, pnext = ("=", other[0] + 1) if (paired and other) \
+                        else ("*", 0)
+                    f.write(f"{name}\t{flag}\t{hap_names[hap]}\t"
+                            f"{max(pos0, 0) + 1}\t{mapq}\t{cig}\t{rnext}\t"
+                            f"{pnext}\t0\t{seq}\t*\t{tags}\n")
+                if rec1 is not None or rec2 is not None:
+                    continue
+            # Fallback: middle-position record without CIGAR.
             mid1 = int(tensors.hap_mid[hap, r, k, 0])
             mid2 = int(tensors.hap_mid[hap, r, k, 1])
             pos = mid1 if mid1 >= 0 else mid2
             flag = 0 if mid1 >= 0 else 4
-            tags = f"XF:f:{p:.3f}"
-            if read_weights is not None:
-                tags += f"\tXW:f:{read_weights[r]:.3f}"
             f.write(f"{name}\t{flag}\t{hap_names[hap]}\t{max(pos, 0) + 1}\t"
                     f"{mapq}\t*\t*\t0\t0\t*\t*\t{tags}\n")

@@ -124,6 +124,7 @@ def genotype_locus(locus: LocusData, read_pairs, names, bg: BgDistr,
         hap_lens = [s.size for s in locus.contig_set.seqs]
         read_names = [ra.name for ra in all_alns.reads]
         weights = [ra.weight for ra in all_alns.reads]
+        score_vec = bg.err_prof.score_vec()
         for i, (gt, pred) in enumerate(zip(result.genotypes,
                                            result.predictions)):
             if i >= params.out_bams or pred.assignments is None:
@@ -131,7 +132,10 @@ def genotype_locus(locus: LocusData, read_pairs, names, bg: BgDistr,
             write_sam(Path(sam_dir) / f"{i:02d}.sam.gz", tuple(gt), tensors,
                       hap_names, hap_lens, read_names,
                       pred.assignments[:, :len(read_names)],
-                      read_weights=weights)
+                      read_weights=weights, all_alns=all_alns,
+                      read_pairs=read_pairs,
+                      hap_seqs=locus.contig_set.seqs, score_vec=score_vec,
+                      band=params.band)
     return result, stats
 
 

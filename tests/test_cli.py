@@ -242,6 +242,37 @@ class TestOutSams:
         assert len(body) > 100
         mapped = [l for l in body if int(l.split("\t")[1]) & 4 == 0]
         assert len(mapped) / len(body) > 0.8
+        # CIGAR validity: =/X runs must exactly match the haplotype FASTA.
+        import re
+        from locityper_tpu.seq import dna as _dna
+        seqs = {r.name: r.seq
+                for r in fastx.read_fastx_auto(world["haps_fa"])}
+        n_checked = 0
+        for l in mapped:
+            fl = l.split("\t")
+            if fl[5] == "*":
+                continue
+            q = _dna.encode(fl[9])
+            ref = seqs[fl[2]]
+            qi, tp = 0, int(fl[3]) - 1
+            spans = re.findall(r"(\d+)([=XIDS])", fl[5])
+            assert sum(int(x) for x, o in spans if o in "=XIS") == len(fl[9])
+            for x, op in spans:
+                x = int(x)
+                if op == "=":
+                    assert (q[qi:qi + x] == ref[tp:tp + x]).all(), fl[:6]
+                    qi += x
+                    tp += x
+                elif op == "X":
+                    assert (q[qi:qi + x] != ref[tp:tp + x]).all(), fl[:6]
+                    qi += x
+                    tp += x
+                elif op in "IS":
+                    qi += x
+                else:
+                    tp += x
+            n_checked += 1
+        assert n_checked > 50
 
 
 class TestPreprocLike:
