@@ -203,6 +203,15 @@ def recruit_reads_fast(loci: dict, path1, path2, recruit_params: RecruitParams,
 
 
 def _read_iter(inputs, interleaved):
+    if len(inputs) == 1 and str(inputs[0]).endswith(".bam"):
+        from ..seq import bam as bamio
+        if bamio.is_paired_bam(inputs[0]):
+            for r1, r2 in bamio.read_bam_pairs(inputs[0]):
+                yield r1.name, r1.seq, r2.seq
+        else:
+            for r in bamio.read_bam(inputs[0]):
+                yield r.name, r.seq, None
+        return
     if len(inputs) == 2:
         for r1, r2 in fastx.read_pairs(inputs[0], inputs[1]):
             yield r1.name, r1.seq, r2.seq

@@ -51,6 +51,10 @@ def _count_input(paths) -> tuple[int, int]:
     total_size = 0
     for path in paths:
         total_size += Path(path).stat().st_size
+        if str(path).endswith(".bam"):
+            from ..seq import bam as bamio
+            total_reads += sum(1 for _ in bamio.read_bam_records(path))
+            continue
         opener = gzip.open if str(path).endswith(".gz") else open
         with opener(path, "rb") as f:
             first = f.readline()
@@ -127,7 +131,20 @@ def run(args):
     counter.finalize()
 
     reads1, reads2 = [], []
-    if len(args.input) == 2:
+    if len(args.input) == 1 and args.input[0].endswith(".bam"):
+        from ..seq import bam as bamio
+        if bamio.is_paired_bam(args.input[0]):
+            for r1, r2 in bamio.read_bam_pairs(args.input[0]):
+                reads1.append(r1.seq)
+                reads2.append(r2.seq)
+                if len(reads1) >= args.max_reads:
+                    break
+        else:
+            for r in bamio.read_bam(args.input[0]):
+                reads1.append(r.seq)
+                if len(reads1) >= args.max_reads:
+                    break
+    elif len(args.input) == 2:
         for r1, r2 in fastx.read_pairs(args.input[0], args.input[1]):
             reads1.append(r1.seq)
             reads2.append(r2.seq)

@@ -57,7 +57,12 @@ def read_fastq(path):
 
 
 def read_fastx_auto(path):
-    """Dispatch on first character: FASTA yields Read(qual=None)."""
+    """Dispatch on extension/first character: BAM (primary records), FASTA
+    (qual=None) or FASTQ."""
+    if str(path).endswith((".bam", ".cram")):
+        from . import bam
+        yield from bam.read_bam(path)
+        return
     with smart_open(path) as f:
         first = f.read(1)
     if first == ">":
@@ -68,8 +73,12 @@ def read_fastx_auto(path):
 
 
 def read_pairs(path1, path2=None, interleaved: bool = False):
-    """Yields (Read, Read) mate pairs: from two files, or one interleaved file
-    (fastx.rs:430-536)."""
+    """Yields (Read, Read) mate pairs: from two files, one interleaved file,
+    or one BAM with FLAG-based mate matching (fastx.rs:430-536, 700-887)."""
+    if path2 is None and str(path1).endswith((".bam", ".cram")):
+        from . import bam
+        yield from bam.read_bam_pairs(path1)
+        return
     if path2 is not None:
         it1, it2 = read_fastx_auto(path1), read_fastx_auto(path2)
         for r1 in it1:
