@@ -49,7 +49,15 @@ def main(argv=None):
         p.set_defaults(func=mod.run)
 
     args = parser.parse_args(argv)
-    return args.func(args)
+    try:
+        return args.func(args)
+    except (ValueError, OSError) as e:
+        # Clean one-line errors for user mistakes (bad inputs/paths), like
+        # the reference's Error enum rendering (err.rs:11-150).  Unexpected
+        # exception types still raise with a full traceback.
+        import logging
+        logging.getLogger("locityper").error("%s", e)
+        return 1
 
 
 if __name__ == "__main__":

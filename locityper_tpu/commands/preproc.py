@@ -41,6 +41,8 @@ def add_args(p):
                         "read depth by the read-count or file-size ratio "
                         "(preproc.rs:1304-1352)")
     p.add_argument("--rerun", default="none")
+    p.add_argument("--describe", action="store_true",
+                   help="Print the stored background distributions and exit")
     return p
 
 
@@ -95,22 +97,72 @@ def run_like(args) -> int:
     return 0
 
 
+# Default ~4.5 Mb duplication-free chr17 windows per genome build
+# (preproc.rs:609-616).
+_DEFAULT_BG = {"CHM13": ("chr17", 72_950_000, 77_450_000),
+               "GRCh38": ("chr17", 72_062_000, 76_562_000),
+               "GRCh37": ("chr17", 70_060_000, 74_560_000)}
+
+
 def select_bg_region(genome: dict, spec: str | None, pad: int = 0):
-    """(preproc.rs:610-657): defaults to a central slice of the largest
-    contig when not specified (the reference defaults to a chr17 region of
-    known genome builds)."""
+    """(preproc.rs:610-657 + select_bg_interval): explicit -b region, else
+    the build-specific chr17 default (build guessed from chr1 length,
+    contigs.rs:244-255), else a central slice of the largest contig (sim
+    genomes; the reference errors here instead)."""
     if spec:
         chrom, _, rng = spec.partition(":")
         start, _, end = rng.partition("-")
         return chrom, int(start.replace(",", "")), int(end.replace(",", ""))
+    from ..seq.contigs import guess_genome_version
+    ver = guess_genome_version(genome)
+    if ver is not None:
+        chrom, start, end = _DEFAULT_BG[ver]
+        for name in (chrom, chrom[3:]):
+            if name in genome and genome[name].size >= end:
+                logger.info("Recognized %s reference genome, using background "
+                            "region %s:%d-%d", ver, name, start + 1, end)
+                return name, start, end
+        raise ValueError(
+            f"Recognized {ver} but it lacks a full {chrom}; provide -b "
+            "explicitly (>3 Mb, without significant duplications)")
     name = max(genome, key=lambda n: genome[n].size)
     n = genome[name].size
     size = min(4_500_000, max(n // 2, min(n, 100_000)))
     start = (n - size) // 2
+    logger.info("Unrecognized genome; using central %s:%d-%d as background",
+                name, start + 1, start + size)
     return name, start, start + size
 
 
+def describe(args) -> int:
+    """preproc --describe (preproc.rs:1400-1409): re-print stored distrs."""
+    import math
+
+    from ..bg import BgDistr
+    bg = BgDistr.load(paths.bg_dir(Path(args.output)) / paths.BG_DISTR)
+    info = bg.seq_info
+    print(f"technology: {info.technology.name.lower()}")
+    print(f"mean read length: {info.read_len:.1f}")
+    if info.total_reads:
+        print(f"total reads: {info.total_reads}")
+    if bg.insert_distr.is_paired_end:
+        d = bg.insert_distr.distr
+        print(f"insert size: {d.mean():.1f} +- {d.variance() ** 0.5:.1f}")
+    ep = bg.err_prof
+    print(f"error rates: mism {100 * math.exp(ep.ln_mismatch):.4f}%, "
+          f"ins {100 * math.exp(ep.ln_insertion):.4f}%, "
+          f"del {100 * math.exp(ep.ln_deletion):.4f}%")
+    if bg.depth is not None:
+        d = bg.depth.depth_distribution(40)
+        print(f"read depth (GC 40, haploid): {d.mean():.2f} "
+              f"+- {d.variance() ** 0.5:.2f} "
+              f"(window {bg.depth.window_size})")
+    return 0
+
+
 def run(args):
+    if args.describe:
+        return describe(args)
     if args.like:
         return run_like(args)
     out = Path(args.output)

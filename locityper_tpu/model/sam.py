@@ -50,7 +50,7 @@ def _slot_to_cand(ra, hap: int, k: int, kh: int):
 
 def _mate_record(codes, aln, hap_seq, score_vec, band):
     """Regenerates the mate's CIGAR at the stored window.  Returns
-    (pos0, cigar_str, seq_str, reverse) or None."""
+    (pos0, cigar_str, seq_str, reverse, end0) or None."""
     if aln is None or codes is None:
         return None
     oriented = codes if aln.fwd else dna.revcomp(codes)
@@ -60,9 +60,10 @@ def _mate_record(codes, aln, hap_seq, score_vec, band):
     if out is None:
         return None
     ops, lens, info, _ = out
-    start_p = int(info[0])
+    start_p, end_p = int(info[0]), int(info[1])
     cig = "".join(f"{int(l)}{_SAM_OPS[int(o)]}" for o, l in zip(ops, lens))
-    return aln.ws + start_p, cig, dna.decode(oriented), not aln.fwd
+    return (aln.ws + start_p, cig, dna.decode(oriented), not aln.fwd,
+            aln.ws + end_p)
 
 
 def write_sam(path, gt, tensors, hap_names, hap_lens, read_names,
@@ -112,7 +113,12 @@ def write_sam(path, gt, tensors, hap_names, hap_lens, read_names,
                 for mate_ix, rec, other in ((0, rec1, rec2), (1, rec2, rec1)):
                     if rec is None:
                         continue
-                    pos0, cig, seq, rev = rec
+                    pos0, cig, seq, rev, end0 = rec
+                    tlen = 0
+                    if other is not None:
+                        lo = min(pos0, other[0])
+                        hi = max(end0, other[4])
+                        tlen = (hi - lo) if pos0 <= other[0] else (lo - hi)
                     flag = 0
                     if paired:
                         flag |= 0x1 | (0x40 if mate_ix == 0 else 0x80)
@@ -129,7 +135,7 @@ def write_sam(path, gt, tensors, hap_names, hap_lens, read_names,
                         else ("*", 0)
                     f.write(f"{name}\t{flag}\t{hap_names[hap]}\t"
                             f"{max(pos0, 0) + 1}\t{mapq}\t{cig}\t{rnext}\t"
-                            f"{pnext}\t0\t{seq}\t*\t{tags}\n")
+                            f"{pnext}\t{tlen}\t{seq}\t*\t{tags}\n")
                 if rec1 is not None or rec2 is not None:
                     continue
             # Fallback: middle-position record without CIGAR.

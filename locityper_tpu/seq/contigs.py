@@ -111,3 +111,15 @@ class Interval:
         cid = contigs.id_of(fields[0])
         name = fields[3] if len(fields) > 3 else ""
         return Interval(cid, int(fields[1]), int(fields[2]), name)
+
+
+def guess_genome_version(genome: dict) -> str | None:
+    """Identifies the reference build from chr1's length
+    (contigs.rs:244-255): CHM13 / GRCh38 / GRCh37, else None."""
+    for key in ("chr1", "1"):
+        if key in genome:
+            n = genome[key].size if hasattr(genome[key], "size") else int(genome[key])
+            return {248_387_328: "CHM13",
+                    248_956_422: "GRCh38",
+                    249_250_621: "GRCh37"}.get(n)
+    return None

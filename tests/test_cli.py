@@ -306,3 +306,43 @@ class TestFastBatches:
             assert gn == wn
             assert np.array_equal(g1, w1)
             assert np.array_equal(g2, w2)
+
+
+class TestPreprocExtras:
+    def test_describe(self, world, prep, capsys):
+        rc = cli.main(["preproc", "-i", "x", "-r", "x", "-o", str(prep),
+                       "--describe"])
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert "technology: illumina" in out
+        assert "insert size:" in out
+        assert "read depth" in out
+
+    def test_genome_version_defaults(self):
+        from locityper_tpu.commands.preproc import select_bg_region
+        from locityper_tpu.seq.contigs import guess_genome_version
+
+        class FakeSeq:
+            def __init__(self, size):
+                self.size = size
+
+        g38 = {"chr1": FakeSeq(248_956_422), "chr17": FakeSeq(83_257_441)}
+        assert guess_genome_version(g38) == "GRCh38"
+        chrom, start, end = select_bg_region(g38, None)
+        assert (chrom, start, end) == ("chr17", 72_062_000, 76_562_000)
+        # GRCh37 with numeric contig names (no 'chr' prefix).
+        g37 = {"1": FakeSeq(249_250_621), "17": FakeSeq(81_195_210)}
+        assert guess_genome_version(g37) == "GRCh37"
+        chrom, start, end = select_bg_region(g37, None)
+        assert (chrom, start, end) == ("17", 70_060_000, 74_560_000)
+        # Recognized build but truncated chr17 -> actionable error.
+        bad = {"chr1": FakeSeq(248_387_328), "chr17": FakeSeq(1000)}
+        with pytest.raises(ValueError, match="provide -b"):
+            select_bg_region(bad, None)
+
+    def test_clean_cli_error(self, world, db, prep, tmp_path, caplog):
+        rc = cli.main(["genotype", "-i", str(tmp_path / "x.cram"),
+                       "-d", str(db), "-p", str(prep),
+                       "-o", str(tmp_path / "o")])
+        assert rc == 1
+        assert any("CRAM" in r.message for r in caplog.records)
