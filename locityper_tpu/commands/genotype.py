@@ -51,6 +51,12 @@ def add_args(p):
     p.add_argument("--out-sams", type=int, default=0,
                    help="Write read assignments for this many best genotypes "
                         "as SAM files under <locus>/alns/")
+    p.add_argument("--reg-weights", default=None, metavar="TSV",
+                   help="Per-locus explicit region weights: each line "
+                        "'<locus> <bed-path>'; the BED has "
+                        "'<hap> <start> <end> <weight in [0,1]>' rows "
+                        "(genotype.rs load_explicit_weights, "
+                        "model/windows.rs ExplicitWeights)")
     p.add_argument("--priors", default=None, metavar="TSV",
                    help="Genotype priors file: '<locus> <hapA,hapB> <log10 prior>' "
                         "(non-positive; genotype.rs:563-619)")
@@ -273,11 +279,33 @@ def run(args):
     params = Params(unmapped_penalty=tech.default_unmapped_penalty(),
                     out_bams=args.out_sams)
     all_priors = load_priors(args.priors) if args.priors else {}
+    weight_files = {}
+    if args.reg_weights:
+        from pathlib import Path as _P
+        base = _P(args.reg_weights).parent
+        for line in open(args.reg_weights):
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            cols = line.split()
+            if len(cols) != 2:
+                raise ValueError(f"{args.reg_weights}: expected "
+                                 f"'<locus> <file>' lines, got {line!r}")
+            path = _P(cols[1])
+            if not path.is_absolute():
+                path = base / path
+            if not path.exists():
+                raise ValueError(f"{args.reg_weights}: {path} does not exist")
+            weight_files[cols[0]] = path
     failures = 0
     for li, name in enumerate(todo):
         pairs, names = recruited[name]
         ldir = out / paths.LOCI_DIR / name
         logger.info("[%s] %d recruited read(pair)s", name, len(pairs))
+        explicit = None
+        if name in weight_files:
+            from ..model.windows import ExplicitWeights
+            explicit = ExplicitWeights.load(weight_files[name])
         locus_priors = None
         if name in all_priors:
             cn = loci[name].contig_set.contigs
@@ -289,7 +317,7 @@ def run(args):
             result, stats = genotype_locus(
                 loci[name], pairs, names, bg, params=params, scheme=scheme,
                 seed=args.seed + li, tag=name, ploidy=args.ploidy,
-                priors=locus_priors,
+                priors=locus_priors, explicit_weights=explicit,
                 sam_dir=(ldir / paths.ALNS_OUT_DIR) if args.out_sams else None,
                 sol_path=(ldir / paths.SOL_CSV) if args.debug else None)
         except Exception:

@@ -53,7 +53,9 @@ class ContigInfo:
 
     @classmethod
     def new(cls, seq: np.ndarray, kmer_counts: np.ndarray, kmer_k: int,
-            window_size: int, neighb_size: int, params: Params) -> "ContigInfo":
+            window_size: int, neighb_size: int, params: Params,
+            explicit: "ExplicitWeights | None" = None,
+            contig_name: str | None = None) -> "ContigInfo":
         contig_len = seq.size
         assert contig_len >= window_size + 2 * params.boundary_size, \
             f"Contig too short ({contig_len})"
@@ -86,6 +88,13 @@ class ContigInfo:
              * weight_calc(np.nan_to_num(compl, nan=1.0),
                            params.compl_weight_breakpoint,
                            params.compl_weight_power))
+        if explicit is not None and contig_name is not None:
+            # Mean explicit weight over each neighbourhood multiplies in
+            # (windows.rs:439-445 get_explicit path).
+            per_bp = explicit.per_bp(contig_name, contig_len)
+            cume = np.concatenate([[0.0], np.cumsum(per_bp)])
+            mean_e = (cume[neighb_size:] - cume[:-neighb_size]) / neighb_size
+            w = w * mean_e[:n_pos].astype(np.float64)
 
         # Expand to per-window-start indexing: neighb_info(start) reads
         # mov_info[max(start - left_padding, 0)] (windows.rs:439-445).
@@ -107,11 +116,53 @@ class ContigInfo:
         return np.where(middles < 0, UNMAPPED_WINDOW, out)
 
 
+class ExplicitWeights:
+    """Per-bp weights from a BED-like file `contig  start  end  weight`
+    (reference ExplicitWeights, model/windows.rs:193-317; the reference
+    stores u64 fixed-point cumsums — plain f64 cumsums here).  Positions not
+    covered default to 1.0; overlapping intervals multiply."""
+
+    def __init__(self, intervals: dict[str, list]):
+        self.intervals = intervals       # name -> [(start, end, weight)]
+
+    @classmethod
+    def load(cls, path) -> "ExplicitWeights":
+        from ..utils.io import smart_open
+        out: dict[str, list] = {}
+        with smart_open(path) as f:
+            for line in f:
+                line = line.strip()
+                if not line or line.startswith(("#", "track")):
+                    continue
+                cols = line.split()
+                if len(cols) < 4:
+                    raise ValueError(
+                        f"{path}: weights BED needs 4 columns "
+                        f"(contig start end weight), got {line!r}")
+                w = float(cols[3])
+                if not 0.0 <= w <= 1.0:
+                    raise ValueError(
+                        f"{path}: weight {w} out of [0, 1] on line {line!r}")
+                out.setdefault(cols[0], []).append(
+                    (int(cols[1]), int(cols[2]), w))
+        return cls(out)
+
+    def per_bp(self, name: str, length: int) -> np.ndarray:
+        w = np.ones(length, np.float64)
+        for start, end, weight in self.intervals.get(name, ()):
+            w[max(start, 0):min(end, length)] *= weight
+        return w
+
+
 def build_contig_infos(contig_set: ContigSet, kmer_counts: KmerCounts,
-                       window_size: int, neighb_size: int,
-                       params: Params) -> list[ContigInfo]:
-    return [ContigInfo.new(seq, counts, kmer_counts.k, window_size, neighb_size, params)
-            for seq, counts in zip(contig_set.seqs, kmer_counts.counts)]
+                       window_size: int, neighb_size: int, params: Params,
+                       explicit: ExplicitWeights | None = None) -> list[ContigInfo]:
+    names = contig_set.contigs.names
+    return [ContigInfo.new(seq, counts, kmer_counts.k, window_size,
+                           neighb_size, params, explicit=explicit,
+                           contig_name=names[i])
+            for i, (seq, counts) in enumerate(zip(contig_set.seqs,
+                                                  kmer_counts.counts))]
 
 
 @dataclass

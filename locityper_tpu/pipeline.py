@@ -33,7 +33,7 @@ class LocusData:
 def genotype_locus(locus: LocusData, read_pairs, names, bg: BgDistr,
                    params: Params | None = None, scheme: Scheme | None = None,
                    seed: int = 1, ploidy: int = 2, tag: str | None = None,
-                   priors: dict | None = None,
+                   priors: dict | None = None, explicit_weights=None,
                    sam_dir=None, sol_path=None) -> tuple[Genotyping, dict]:
     """Genotypes one locus from recruited reads.
 
@@ -65,7 +65,8 @@ def genotype_locus(locus: LocusData, read_pairs, names, bg: BgDistr,
                           warnings=["NoReads"]), stats
 
     infos = build_contig_infos(locus.contig_set, locus.kmer_counts,
-                               window_size, neighb_size, params)
+                               window_size, neighb_size, params,
+                               explicit=explicit_weights)
     pack = ContigInfoPack.pack(infos)
     tensors = LocusTensors.build(all_alns)
 

@@ -346,3 +346,69 @@ class TestPreprocExtras:
                        "-o", str(tmp_path / "o")])
         assert rc == 1
         assert any("CRAM" in r.message for r in caplog.records)
+
+
+class TestRegWeights:
+    def test_explicit_weights_unit(self):
+        from locityper_tpu.model.windows import ExplicitWeights
+        ew = ExplicitWeights({"h1": [(100, 200, 0.25), (150, 300, 0.5)]})
+        w = ew.per_bp("h1", 400)
+        assert w[50] == 1.0
+        assert w[120] == 0.25
+        assert w[180] == 0.125          # overlap multiplies
+        assert w[250] == 0.5
+        assert w[350] == 1.0
+        assert (ew.per_bp("other", 10) == 1.0).all()
+
+    def test_weights_change_window_weights(self, world, prep):
+        from locityper_tpu.bg import BgDistr
+        from locityper_tpu.model import Params
+        from locityper_tpu.model.windows import (ExplicitWeights,
+                                                 build_contig_infos)
+        from locityper_tpu.seq.contigs import ContigSet
+        from locityper_tpu.seq.counts import GenomeKmerCounter, off_target_counts
+
+        locus = world["locus"]
+        cs = ContigSet("GENE1", locus.hap_names, locus.haplotypes)
+        counter = GenomeKmerCounter(25)
+        counter.add_seq(locus.haplotypes[0])
+        counter.finalize()
+        kc = off_target_counts(counter, locus.haplotypes,
+                               locus.haplotypes[0])
+        bg = BgDistr.load(prep / "bg" / "distr.json.gz")
+        params = Params()
+        base = build_contig_infos(cs, kc, bg.depth.window_size,
+                                  bg.depth.neighb_size, params)
+        ew = ExplicitWeights({locus.hap_names[0]: [(500, 1500, 0.1)]})
+        mod = build_contig_infos(cs, kc, bg.depth.window_size,
+                                 bg.depth.neighb_size, params, explicit=ew)
+        # Hap 0 weights drop inside the interval, untouched outside.
+        assert mod[0].weight_at[1000] < 0.2 * base[0].weight_at[1000]
+        assert mod[0].weight_at[3000] == pytest.approx(
+            base[0].weight_at[3000])
+        # Other haplotypes unchanged.
+        assert np.allclose(mod[1].weight_at, base[1].weight_at)
+
+    def test_cli_reg_weights(self, world, db, prep, tmp_path):
+        locus = world["locus"]
+        bed = tmp_path / "w.bed"
+        bed.write_text(f"{locus.hap_names[0]}\t0\t4000\t0.9\n")
+        mapping = tmp_path / "weights.tsv"
+        mapping.write_text(f"GENE1\t{bed.name}\n")
+        out = tmp_path / "outw"
+        rc = cli.main([
+            "genotype", "-i", str(world["r1"]), str(world["r2"]),
+            "-d", str(db), "-p", str(prep), "-o", str(out),
+            "-S", "greedy:i=5k,a=1", "anneal:i=4,a=4,n=1000,p=500",
+            "--reg-weights", str(mapping), "--seed", "5"])
+        assert rc == 0
+        assert (out / "loci" / "GENE1" / "res.json.gz").exists()
+
+    def test_cli_reg_weights_missing_file(self, world, db, prep, tmp_path):
+        mapping = tmp_path / "weights.tsv"
+        mapping.write_text("GENE1\tnope.bed\n")
+        rc = cli.main([
+            "genotype", "-i", str(world["r1"]), str(world["r2"]),
+            "-d", str(db), "-p", str(prep), "-o", str(tmp_path / "o"),
+            "--reg-weights", str(mapping)])
+        assert rc == 1
