@@ -29,7 +29,7 @@ logger = get_logger("genotype")
 
 
 def add_args(p):
-    p.add_argument("-i", "--input", nargs="+", required=True)
+    p.add_argument("-i", "--input", nargs="+", default=None)
     p.add_argument("-d", "--db", required=True, help="Database directory")
     p.add_argument("-p", "--preproc", required=True,
                    help="Preprocessing output directory")
@@ -43,7 +43,8 @@ def add_args(p):
     p.add_argument("--seed", type=int, default=1)
     p.add_argument("--subsample", type=float, default=None,
                    help="Recruit this fraction of reads")
-    p.add_argument("--stop-after", choices=("recruit", "all"), default="all",
+    p.add_argument("--stop-after", choices=("recruit", "map", "all"),
+                   default="all",
                    help="Stop after a pipeline stage (genotype.rs:52-69): "
                         "'recruit' writes recruited reads and exits")
     p.add_argument("--debug", action="store_true",
@@ -61,7 +62,89 @@ def add_args(p):
                    help="Genotype priors file: '<locus> <hapA,hapB> <log10 prior>' "
                         "(non-positive; genotype.rs:563-619)")
     p.add_argument("--rerun", default="none")
+    p.add_argument("-I", "--in-list", default=None, metavar="FILE",
+                   help="File listing input read files, one per line "
+                        "(genotype.rs -I)")
+    p.add_argument("--leave-out", nargs="*", default=None, metavar="HAP",
+                   help="Exclude these haplotypes from every locus panel "
+                        "(genotype.rs --leave-out)")
+    # Recruitment knobs (recruit.rs Params).
+    p.add_argument("-m", "--minimizer", default=None, metavar="K,W",
+                   help="Minimizer k,w [15,10]")
+    p.add_argument("-M", "--match-frac", type=float, default=None,
+                   help="Minimizer match fraction (default per technology)")
+    p.add_argument("-L", "--match-len", type=int, default=2000,
+                   help="Long-read match length [%(default)s]")
+    p.add_argument("--kmer-thresh", type=int, default=10,
+                   help="Rare k-mer count threshold [%(default)s]")
+    # Model knobs (model/mod.rs Params).
+    p.add_argument("--skew", type=float, default=None,
+                   help="Likelihood skew: depth weight 1+skew, aln 1-skew "
+                        "[0.85]")
+    p.add_argument("-D", "--prob-diff", type=float, default=None,
+                   help="Candidate location prob. difference, log10 [2]")
+    p.add_argument("-U", "--unmapped", type=float, default=None,
+                   help="Unmapped-read penalty, log10 (default per tech)")
+    p.add_argument("-A", "--alt-cn", type=float, nargs="*", default=None,
+                   help="Alternative copy numbers [0.3 2 3 4 5]")
+    p.add_argument("--complexity", type=int, default=None,
+                   help="Linguistic complexity k-mer size [5]")
+    p.add_argument("--kmers-weight", default=None, metavar="B,P",
+                   help="Unique-kmer weight sigmoid breakpoint,power [0.2,4]")
+    p.add_argument("--compl-weight", default=None, metavar="B,P",
+                   help="Complexity weight sigmoid breakpoint,power [0.5,4]")
+    p.add_argument("--min-weight", type=float, default=None,
+                   help="Minimum read weight to include in the model [0.001]")
+    p.add_argument("--read-kmers", default=None, metavar="HARD,SOFT",
+                   help="Unique-kmer read thresholds hard,soft [1,5]")
+    p.add_argument("-t", "--tweak", type=int, default=None,
+                   help="Window tweak size (default auto: min(w/2, 200))")
+    p.add_argument("--filt-diff", type=float, default=None,
+                   help="Stage-filter score difference, log10 [100]")
+    p.add_argument("--prob-thresh", type=float, default=None,
+                   help="Genotype probability threshold, log10 [-4]")
+    p.add_argument("--dont-skip", action="store_true",
+                   help="Never skip genotypes in solver stages")
     return p
+
+
+def _apply_param_args(params, args):
+    """Maps CLI tuning flags onto model Params (genotype.rs:447-505)."""
+    import numpy as np
+    LN10 = float(np.log(10.0))
+    if args.skew is not None:
+        params.lik_skew = args.skew
+    if args.prob_diff is not None:
+        params.prob_diff = args.prob_diff * LN10
+    if args.unmapped is not None:
+        params.unmapped_penalty = args.unmapped * LN10
+    if args.alt_cn:
+        params.alt_cn = tuple(args.alt_cn)
+    if args.complexity is not None:
+        params.complexity_k = args.complexity
+    if args.kmers_weight:
+        b, p_ = args.kmers_weight.split(",")
+        params.kmers_weight_breakpoint = float(b)
+        params.kmers_weight_power = float(p_)
+    if args.compl_weight:
+        b, p_ = args.compl_weight.split(",")
+        params.compl_weight_breakpoint = float(b)
+        params.compl_weight_power = float(p_)
+    if args.min_weight is not None:
+        params.min_weight = args.min_weight
+    if args.read_kmers:
+        h, soft = args.read_kmers.split(",")
+        params.kmer_hard_thresh = int(h)
+        params.kmer_soft_thresh = int(soft)
+    if args.tweak is not None:
+        params.tweak = args.tweak
+    if args.filt_diff is not None:
+        params.filt_diff = args.filt_diff * LN10
+    if args.prob_thresh is not None:
+        params.prob_thresh = args.prob_thresh * LN10
+    if args.dont_skip:
+        params.dont_skip = True
+    return params
 
 
 def load_priors(path) -> dict:
@@ -89,6 +172,27 @@ def load_locus(db: Path, name: str) -> LocusData:
     if dist_path.exists():
         dist = np.load(dist_path)["div"]
     return LocusData(cset, kc, dist)
+
+
+def _leave_out(data: LocusData, names: set, tag: str) -> LocusData:
+    """Drops panel haplotypes by name (genotype.rs --leave-out)."""
+    keep = [i for i, n in enumerate(data.contig_set.contigs.names)
+            if n not in names]
+    if len(keep) == len(data.contig_set.contigs.names):
+        return data
+    if len(keep) < 2:
+        raise ValueError(f"[{tag}] --leave-out removes all haplotypes")
+    cs = ContigSet(data.contig_set.tag,
+                   [data.contig_set.contigs.names[i] for i in keep],
+                   [data.contig_set.seqs[i] for i in keep])
+    kc = KmerCounts(data.kmer_counts.k,
+                    [data.kmer_counts.counts[i] for i in keep])
+    dist = None
+    if data.dist_matrix is not None:
+        dist = data.dist_matrix[np.ix_(keep, keep)]
+    logger.info("[%s] left out %d haplotype(s), %d remain", tag,
+                len(data.contig_set.seqs) - len(keep), len(keep))
+    return LocusData(cs, kc, dist)
 
 
 def list_loci(db: Path) -> list[str]:
@@ -230,6 +334,14 @@ def _read_iter(inputs, interleaved):
 
 
 def run(args):
+    if args.in_list:
+        listed = [l.strip() for l in open(args.in_list)
+                  if l.strip() and not l.startswith("#")]
+        if not listed:
+            raise ValueError(f"{args.in_list}: no input files listed")
+        args.input = (args.input or []) + listed
+    if not args.input:
+        raise ValueError("no input reads: provide -i/--input or -I/--in-list")
     db = Path(args.db)
     out = Path(args.output)
     rerun = Rerun.parse(args.rerun)
@@ -244,14 +356,23 @@ def run(args):
         if not rerun.prepare_dir(ldir):
             logger.info("[%s] already genotyped, skipping", name)
             continue
-        loci[name] = load_locus(db, name)
+        data = load_locus(db, name)
+        if args.leave_out:
+            data = _leave_out(data, set(args.leave_out), name)
+        loci[name] = data
         todo.append(name)
     if not todo:
         logger.info("Nothing to do")
         return 0
 
+    mk, mw = (15, 10)
+    if args.minimizer:
+        mk, mw = (int(x) for x in args.minimizer.split(","))
     rp = RecruitParams(
-        match_frac=tech.default_match_frac(bg.insert_distr.is_paired_end))
+        minimizer_k=mk, minimizer_w=mw,
+        match_frac=(args.match_frac if args.match_frac is not None else
+                    tech.default_match_frac(bg.insert_distr.is_paired_end)),
+        match_length=args.match_len, thresh_kmer_count=args.kmer_thresh)
     if len(args.input) == 2 and tech.are_short_reads:
         recruited, _ = recruit_reads_fast(
             loci, args.input[0], args.input[1], rp,
@@ -275,9 +396,35 @@ def run(args):
             logger.info("[%s] wrote %d recruited read(pair)s", name, len(pairs))
         return 0
 
+    if args.stop_after == "map":
+        from ..bg.err_prof import EditDistCache, EditThresh
+        from ..model import Params as _Params
+        from ..model.locs import build_all_alignments
+        from ..model.sam import write_all_sam
+        params = _Params(unmapped_penalty=tech.default_unmapped_penalty())
+        if params.band is None:
+            params.band = 48 if tech.are_short_reads else 160
+        edit_cache = EditDistCache(bg.err_prof, EditThresh.default_for(tech))
+        for name in todo:
+            pairs, names_ = recruited[name]
+            cs = loci[name].contig_set
+            all_alns, stats = build_all_alignments(
+                pairs, names_, cs, loci[name].kmer_counts, bg, edit_cache,
+                params)
+            ldir = out / paths.LOCI_DIR / name
+            ldir.mkdir(parents=True, exist_ok=True)
+            write_all_sam(ldir / "aln.sam.gz", all_alns, pairs,
+                          cs.contigs.names, [sq.size for sq in cs.seqs],
+                          cs.seqs, bg.err_prof.score_vec(), params.band)
+            logger.info("[%s] wrote %d modeled reads' alignments to aln.sam.gz"
+                        " (%d recruited)", name, len(all_alns.reads),
+                        len(pairs))
+        return 0
+
     scheme = Scheme.parse(args.solvers or [])
     params = Params(unmapped_penalty=tech.default_unmapped_penalty(),
                     out_bams=args.out_sams)
+    _apply_param_args(params, args)
     all_priors = load_priors(args.priors) if args.priors else {}
     weight_files = {}
     if args.reg_weights:

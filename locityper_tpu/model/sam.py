@@ -66,6 +66,52 @@ def _mate_record(codes, aln, hap_seq, score_vec, band):
             aln.ws + end_p)
 
 
+def write_all_sam(path, all_alns, read_pairs, hap_names, hap_lens, hap_seqs,
+                  score_vec, band: int = 48) -> None:
+    """Writes ALL candidate alignments of every modeled read to every
+    haplotype (the reference's `--stop-after map` aln.bam stage,
+    genotype.rs:1023-1074): one record per mapped mate per candidate, with
+    traceback CIGARs; secondary candidates (per read, beyond its best one)
+    carry FLAG 0x100.  XL:f is the candidate's pair ln-probability."""
+    with smart_create(path) as f:
+        f.write("@HD\tVN:1.6\tSO:unsorted\n")
+        for h, name in enumerate(hap_names):
+            f.write(f"@SQ\tSN:{name}\tLN:{hap_lens[h]}\n")
+        f.write("@PG\tID:locityper-tpu\tPN:locityper-tpu\n")
+        for ra in all_alns.reads:
+            c1, c2 = read_pairs[ra.read_ix]
+            best = max((c.ln_prob for c in ra.cands), default=0.0)
+            for c in ra.cands:
+                sec = 0 if c.ln_prob >= best else 0x100
+                rec1 = _mate_record(c1, c.aln1, hap_seqs[c.hap], score_vec,
+                                    band)
+                rec2 = _mate_record(c2, c.aln2, hap_seqs[c.hap], score_vec,
+                                    band)
+                paired = c2 is not None
+                for mate_ix, rec, other in ((0, rec1, rec2), (1, rec2, rec1)):
+                    if rec is None:
+                        continue
+                    pos0, cig, seq, rev, end0 = rec
+                    flag = sec
+                    if paired:
+                        flag |= 0x1 | (0x40 if mate_ix == 0 else 0x80)
+                        if other is None:
+                            flag |= 0x8
+                        else:
+                            if other[3]:
+                                flag |= 0x20
+                            if other[3] != rev:
+                                flag |= 0x2
+                    if rev:
+                        flag |= 0x10
+                    rnext, pnext = ("=", other[0] + 1) if (paired and other) \
+                        else ("*", 0)
+                    f.write(f"{ra.name}\t{flag}\t{hap_names[c.hap]}\t"
+                            f"{max(pos0, 0) + 1}\t0\t{cig}\t{rnext}\t{pnext}"
+                            f"\t0\t{seq}\t*\tXL:f:{c.ln_prob:.3f}\t"
+                            f"XW:f:{ra.weight:.3f}\n")
+
+
 def write_sam(path, gt, tensors, hap_names, hap_lens, read_names,
               assignments: np.ndarray, read_weights=None, all_alns=None,
               read_pairs=None, hap_seqs=None, score_vec=None,

@@ -412,3 +412,72 @@ class TestRegWeights:
             "-d", str(db), "-p", str(prep), "-o", str(tmp_path / "o"),
             "--reg-weights", str(mapping)])
         assert rc == 1
+
+
+class TestStopAfterMap:
+    def test_aln_sam_written(self, world, db, prep, tmp_path):
+        out = tmp_path / "outmap"
+        rc = cli.main([
+            "genotype", "-i", str(world["r1"]), str(world["r2"]),
+            "-d", str(db), "-p", str(prep), "-o", str(out),
+            "--stop-after", "map"])
+        assert rc == 0
+        sam = out / "loci" / "GENE1" / "aln.sam.gz"
+        assert sam.exists()
+        import gzip as _gz
+        lines = _gz.open(sam, "rt").read().splitlines()
+        sq = [l for l in lines if l.startswith("@SQ")]
+        assert len(sq) == 5                      # all haplotypes present
+        body = [l.split("\t") for l in lines if not l.startswith("@")]
+        assert len(body) > 500
+        # Multiple haplotype candidates per read; secondaries flagged.
+        by_read = {}
+        for f in body:
+            by_read.setdefault(f[0], set()).add(f[2])
+        assert max(len(v) for v in by_read.values()) >= 3
+        assert any(int(f[1]) & 0x100 for f in body)
+        assert all(f[5] != "*" for f in body)    # every record has a CIGAR
+        # No res.json.gz: solving was skipped.
+        assert not (out / "loci" / "GENE1" / "res.json.gz").exists()
+
+
+class TestGenotypeKnobs:
+    def test_leave_out_and_knobs(self, world, db, prep, tmp_path):
+        out = tmp_path / "outlo"
+        locus = world["locus"]
+        lo = [locus.hap_names[i] for i in range(5)
+              if i not in locus.true_genotype][:2]
+        rc = cli.main([
+            "genotype", "-i", str(world["r1"]), str(world["r2"]),
+            "-d", str(db), "-p", str(prep), "-o", str(out),
+            "-S", "greedy:i=5k,a=1", "anneal:i=4,a=4,n=1000,p=500",
+            "--leave-out", *lo, "--skew", "0.8", "-D", "2.5",
+            "--seed", "5"])
+        assert rc == 0
+        import gzip as _gz
+        import json as _json
+        res = _json.load(_gz.open(out / "loci" / "GENE1" / "res.json.gz",
+                                  "rt"))
+        called = set(res["genotype"].split(","))
+        assert not (called & set(lo))            # left-out haps never called
+        truth = {locus.hap_names[i] for i in locus.true_genotype}
+        assert called == truth
+
+    def test_leave_out_all_errors(self, world, db, prep, tmp_path):
+        locus = world["locus"]
+        rc = cli.main([
+            "genotype", "-i", str(world["r1"]), str(world["r2"]),
+            "-d", str(db), "-p", str(prep), "-o", str(tmp_path / "o"),
+            "--leave-out", *locus.hap_names])
+        assert rc == 1
+
+    def test_in_list(self, world, db, prep, tmp_path):
+        lst = tmp_path / "inputs.txt"
+        lst.write_text(f"{world['r1']}\n{world['r2']}\n")
+        out = tmp_path / "outil"
+        rc = cli.main([
+            "genotype", "-I", str(lst), "-d", str(db), "-p", str(prep),
+            "-o", str(out), "-S", "greedy:i=5k,a=1",
+            "anneal:i=4,a=4,n=1000,p=500", "--seed", "5"])
+        assert rc == 0
+        assert (out / "loci" / "GENE1" / "res.json.gz").exists()
