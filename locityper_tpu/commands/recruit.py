@@ -26,7 +26,11 @@ def add_args(p):
     p.add_argument("-o", "--output", nargs="+", required=True,
                    help="One output FASTQ per target, or a single file")
     p.add_argument("--interleaved", action="store_true")
-    p.add_argument("--match-frac", type=float, default=0.5)
+    p.add_argument("-x", "--preset", default=None,
+                   help="Technology preset setting the match fraction "
+                        "(recruit.rs:88-105): illumina/illumina-se/hifi/"
+                        "pacbio/ont")
+    p.add_argument("--match-frac", type=float, default=None)
     p.add_argument("--match-len", type=int, default=2000)
     p.add_argument("--kmer-thresh", type=int, default=10)
     p.add_argument("--subsample", type=float, default=None)
@@ -34,8 +38,30 @@ def add_args(p):
     return p
 
 
+_PRESETS = {
+    "illumina": ("illumina", True), "illumina-pe": ("illumina", True),
+    "sr": ("illumina", True), "sr-pe": ("illumina", True),
+    "illumina-se": ("illumina", False), "sr-se": ("illumina", False),
+    "hifi": ("hifi", False), "pacbio": ("pacbio", False),
+    "pb": ("pacbio", False), "ont": ("nanopore", False),
+    "nanopore": ("nanopore", False),
+}
+
+
 def run(args):
-    params = RecruitParams(match_frac=args.match_frac,
+    match_frac = args.match_frac
+    if args.preset is not None:
+        if args.preset.lower() not in _PRESETS:
+            raise ValueError(f"unknown preset {args.preset!r}; options: "
+                             + ", ".join(sorted(_PRESETS)))
+        from ..bg import Technology
+        tech_name, paired = _PRESETS[args.preset.lower()]
+        tech = Technology.parse(tech_name)
+        if match_frac is None:
+            match_frac = tech.default_match_frac(paired)
+    if match_frac is None:
+        match_frac = 0.5
+    params = RecruitParams(match_frac=match_frac,
                            match_length=args.match_len,
                            thresh_kmer_count=args.kmer_thresh)
     index = TargetIndex(params)

@@ -481,3 +481,18 @@ class TestGenotypeKnobs:
             "anneal:i=4,a=4,n=1000,p=500", "--seed", "5"])
         assert rc == 0
         assert (out / "loci" / "GENE1" / "res.json.gz").exists()
+
+
+class TestRecruitPreset:
+    def test_preset(self, world, tmp_path):
+        out = tmp_path / "rp.fq"
+        rc = cli.main(["recruit", "-i", str(world["r1"]), str(world["r2"]),
+                       "-s", str(world["haps_fa"]), "-o", str(out),
+                       "-x", "illumina"])
+        assert rc == 0
+        assert sum(1 for _ in fastx.read_fastq(out)) > 100
+
+    def test_bad_preset(self, tmp_path):
+        rc = cli.main(["recruit", "-i", "x", "-s", "y", "-o", "z",
+                       "-x", "bogus"])
+        assert rc == 1
