@@ -287,13 +287,27 @@ def recruit_reads_fast(loci: dict, path1, path2, recruit_params: RecruitParams,
     out = {name: ([], []) for name in order}
     progress = Progress(logger, "reads")
     rng = np.random.default_rng(seed)
+    first_batch = True
     for names, m1, l1, m2, l2, count in fast_paired_batches(
             path1, path2, batch=batch, max_len=max_len):
+        if first_batch:
+            # Separate kernel-compile time from throughput: the first batch
+            # triggers the device-kernel compile (seconds warm via the
+            # persistent cache; minutes cold on remote-compile setups).
+            import time as _time
+            t0 = _time.perf_counter()
         if subsample is not None:
             keep = rng.random(count) < subsample
         else:
             keep = None
         hits = run_pairs(dev, m1, m2)
+        if first_batch:
+            first_batch = False
+            dt = _time.perf_counter() - t0
+            if dt > 5.0:
+                logger.info("Recruitment kernel ready in %.0f s (compile; "
+                            "cached for subsequent runs)", dt)
+            progress.reset_clock()
         rec = 0
         for i in range(count):
             if keep is not None and not keep[i]:

@@ -36,6 +36,12 @@ class Progress:
         self.processed = 0
         self.recruited = 0
 
+    def reset_clock(self) -> None:
+        """Restarts the throughput clock (e.g. after a one-off kernel
+        compile, so reported speeds reflect steady state)."""
+        self.t0 = time.monotonic()
+        self.last_msg = self.t0
+
     def add(self, processed: int, recruited: int = 0) -> None:
         self.processed += processed
         self.recruited += recruited
