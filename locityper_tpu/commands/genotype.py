@@ -62,6 +62,9 @@ def add_args(p):
                    help="Genotype priors file: '<locus> <hapA,hapB> <log10 prior>' "
                         "(non-positive; genotype.rs:563-619)")
     p.add_argument("--rerun", default="none")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="Capture a JAX profiler trace of the run into DIR "
+                        "(view with TensorBoard / xprof; SURVEY.md §5.1)")
     p.add_argument("-I", "--in-list", default=None, metavar="FILE",
                    help="File listing input read files, one per line "
                         "(genotype.rs -I)")
@@ -348,6 +351,18 @@ def _read_iter(inputs, interleaved):
 
 
 def run(args):
+    if args.profile:
+        import jax
+        jax.profiler.start_trace(args.profile)
+        try:
+            return _run(args)
+        finally:
+            jax.profiler.stop_trace()
+            logger.info("Profiler trace written to %s", args.profile)
+    return _run(args)
+
+
+def _run(args):
     if args.in_list:
         listed = [l.strip() for l in open(args.in_list)
                   if l.strip() and not l.startswith("#")]
