@@ -56,6 +56,9 @@ class UniqueKmers:
 
     def count_read(self, codes: np.ndarray) -> int:
         """Non-overlapping unique k-mers in the read (locs.rs:958-992)."""
+        from .. import native
+        if native.available() and self.unique.size:
+            return native.count_unique_nonoverlap(codes, self.k, self.unique)
         km, _, valid = canonical_kmers(codes, self.k)
         if km.size == 0 or self.unique.size == 0:
             return 0

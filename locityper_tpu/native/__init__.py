@@ -60,6 +60,10 @@ def get_lib():
     lib.parse_fastq.restype = ctypes.c_int64
     lib.fastq_complete_prefix.argtypes = [u8p, ctypes.c_int64]
     lib.fastq_complete_prefix.restype = ctypes.c_int64
+    lib.count_unique_nonoverlap.argtypes = [i8p, ctypes.c_int64,
+                                            ctypes.c_int32, u64p,
+                                            ctypes.c_int64]
+    lib.count_unique_nonoverlap.restype = ctypes.c_int64
     f32p = np.ctypeslib.ndpointer(np.float32, flags="C")
     lib.banded_align_cigar.argtypes = [
         i8p, ctypes.c_int64, i8p, ctypes.c_int64, ctypes.c_int32, f32p,
@@ -95,6 +99,15 @@ def canonical_kmers(codes: np.ndarray, k: int):
     if m:
         lib.canonical_kmers(np.ascontiguousarray(codes), n, k, kmer, valid)
     return kmer, valid.astype(bool)
+
+
+def count_unique_nonoverlap(codes: np.ndarray, k: int,
+                            uniq_sorted: np.ndarray) -> int:
+    """Native twin of UniqueKmers.count_read's inner loop."""
+    lib = get_lib()
+    return int(lib.count_unique_nonoverlap(
+        np.ascontiguousarray(codes), codes.size, k,
+        np.ascontiguousarray(uniq_sorted, np.uint64), uniq_sorted.size))
 
 
 def banded_align_cigar(query: np.ndarray, twin: np.ndarray, band: int,

@@ -192,6 +192,39 @@ int64_t parse_fastq(const uint8_t* buf, int64_t n, int32_t max_len,
 }
 
 // ---------------------------------------------------------------------------
+// Non-overlapping unique-k-mer count (model/locs.rs:958-992 / UniqueKmers
+// .count_read): rolling canonical k-mers, membership in a sorted unique
+// table, greedy k-step skip after each hit.
+// ---------------------------------------------------------------------------
+int64_t count_unique_nonoverlap(const int8_t* codes, int64_t n, int32_t k,
+                                const uint64_t* uniq, int64_t m) {
+    if (n < k || m == 0) return 0;
+    const int64_t n_kmers = n - k + 1;
+    // Compute canonical kmers into a small stack/heap buffer.
+    uint64_t* km = new uint64_t[n_kmers];
+    uint8_t* ok = new uint8_t[n_kmers];
+    canonical_kmers(codes, n, k, km, ok);
+    int64_t count = 0;
+    for (int64_t t = 0; t < n_kmers; ) {
+        bool hit = false;
+        if (ok[t]) {
+            // Binary search in uniq.
+            int64_t lo = 0, hi = m;
+            while (lo < hi) {
+                int64_t mid = (lo + hi) >> 1;
+                if (uniq[mid] < km[t]) lo = mid + 1;
+                else hi = mid;
+            }
+            hit = lo < m && uniq[lo] == km[t];
+        }
+        if (hit) { count++; t += k; }
+        else t++;
+    }
+    delete[] km; delete[] ok;
+    return count;
+}
+
+// ---------------------------------------------------------------------------
 // Banded ML alignment WITH traceback (host twin of ops/align.py _align_one;
 // reference role: WFA2-lib seq/wfa.rs + cigar.rs — CIGAR production for
 // PAF/SAM output).  Same recurrence and tie-breaking as the device kernel:
