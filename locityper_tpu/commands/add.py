@@ -45,6 +45,12 @@ def add_args(p):
                         "[disabled]")
     p.add_argument("-w", "--window", type=int, default=500,
                    help="Moving window for boundary selection [%(default)s]")
+    p.add_argument("-u", "--unknown", type=float, default=0.1,
+                   help="Max fraction of unknown genotypes per VCF haplotype "
+                        "before it is discarded [%(default)s] (add.rs -u)")
+    p.add_argument("--only-seqs", action="store_true",
+                   help="Store haplotype sequences only: skip k-mer counts "
+                        "and divergence matrices (add.rs --only-seqs)")
     p.add_argument("--rerun", default="none", help="all/part/none")
     return p
 
@@ -77,7 +83,7 @@ def divergence_matrix(seqs, k=15, w=10) -> np.ndarray:
 
 def build_locus(db_dir: Path, locus_name: str, hap_names, hap_seqs,
                 genome_counter: GenomeKmerCounter, target_seq: np.ndarray,
-                ref_interval=None) -> None:
+                ref_interval=None, only_seqs: bool = False) -> None:
     ldir = paths.locus_dir(db_dir, locus_name)
     ldir.mkdir(parents=True, exist_ok=True)
 
@@ -91,12 +97,13 @@ def build_locus(db_dir: Path, locus_name: str, hap_names, hap_seqs,
     hap_names = [hap_names[i] for i in keep]
     hap_seqs = [hap_seqs[i] for i in keep]
 
-    kc = off_target_counts(genome_counter, hap_seqs, target_seq)
-    kc.save_npz(ldir / paths.KMER_COUNTS)
+    if not only_seqs:
+        kc = off_target_counts(genome_counter, hap_seqs, target_seq)
+        kc.save_npz(ldir / paths.KMER_COUNTS)
 
-    div = divergence_matrix(hap_seqs)
-    np.savez_compressed(ldir / paths.DISTANCES, div=div,
-                        names=np.array(hap_names))
+        div = divergence_matrix(hap_seqs)
+        np.savez_compressed(ldir / paths.DISTANCES, div=div,
+                            names=np.array(hap_names))
 
     with smart_create(ldir / paths.HAPLOTYPES) as f:
         for name, seq in zip(hap_names, hap_seqs):
@@ -151,14 +158,16 @@ def run(args):
                 from ..seq.panvcf import haplotypes_from_vcf
                 named = haplotypes_from_vcf(args.vcf, target_seq, chrom,
                                             start, end,
-                                            leave_out=args.leave_out)
+                                            leave_out=args.leave_out,
+                                            max_unknown_frac=args.unknown)
             elif args.seqs:
                 hap_file = args.seqs.replace("{}", name)
                 named = [(r.name, r.seq) for r in fastx.read_fastx_auto(hap_file)]
             else:
                 raise SystemExit("Either --seqs or --vcf is required")
             build_locus(db, name, [n for n, _ in named], [s for _, s in named],
-                        counter, target_seq, ref_interval=(chrom, start, end))
+                        counter, target_seq, ref_interval=(chrom, start, end),
+                        only_seqs=args.only_seqs)
             n_done += 1
     logger.info("Database build complete (%d loci processed)", n_done)
     return 0

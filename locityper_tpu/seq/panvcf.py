@@ -122,11 +122,13 @@ def reconstruct_sequences(ref_seq: np.ndarray, ref_start: int, hap_names,
 
 
 def haplotypes_from_vcf(vcf_path, ref_seq: np.ndarray, contig: str,
-                        start: int, end: int, leave_out=()):
+                        start: int, end: int, leave_out=(),
+                        max_unknown_frac: float = 0.1):
     """Full path: parse + reconstruct; prepends the reference itself as
     haplotype '<contig>:<start>-<end>' (add.rs includes the ref allele)."""
     hap_names, variants = read_vcf(vcf_path, contig, start, end)
     haps = reconstruct_sequences(ref_seq, start, hap_names, variants,
+                                 max_unknown_frac=max_unknown_frac,
                                  leave_out=leave_out)
     ref_name = f"{contig}:{start + 1}-{end}"
     return [(ref_name, ref_seq.copy())] + haps
