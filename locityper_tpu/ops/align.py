@@ -195,9 +195,15 @@ def align_batch(reads, rlens, hap_wins, score_vec, band: int = 48):
 def align_batch_auto(reads, rlens, hap_wins, score_vec, band: int = 48):
     """Backend dispatch: the Pallas kernel on TPU (12× faster, exact parity
     — see ops/align_pallas.py), the XLA kernel on CPU (Mosaic needs TPU).
+    Reads longer than 8 kb use the row-streamed Pallas variant whose VMEM
+    footprint is O(block+band) instead of O(L) (arbitrary-length ONT/HiFi).
     Requires the batch to be a multiple of 128 on the TPU path (the model
     layer buckets batches to powers of two ≥ 256)."""
     if jax.default_backend() != "cpu" and reads.shape[0] % 128 == 0:
+        if reads.shape[1] > 8192:
+            from .align_pallas import align_batch_pallas_stream
+            return align_batch_pallas_stream(reads, rlens, hap_wins,
+                                             score_vec, band=band, tile=128)
         from .align_pallas import align_batch_pallas
         return align_batch_pallas(reads, rlens, hap_wins, score_vec,
                                   band=band, tile=128)

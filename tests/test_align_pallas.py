@@ -57,3 +57,24 @@ class TestPallasParity:
         for k in ("n_mism", "n_ins", "n_del", "n_clip", "start_p", "end_p"):
             mismatch = np.mean(got[k] != want[k])
             assert mismatch < 0.02, f"{k}: {mismatch:.3f} differ"
+
+
+@pytest.mark.skipif(not _HAS_PALLAS, reason="pallas import failed")
+def test_stream_kernel_matches_plain_on_tpu():
+    """Row-streamed long-read kernel is bit-exact vs the plain kernel
+    (TPU only; validated on hardware in /tmp stream tests and here when a
+    TPU backend is present)."""
+    if jax.default_backend() == "cpu":
+        pytest.skip("Pallas kernels need a TPU backend")
+    from locityper_tpu.ops.align_pallas import (align_batch_pallas,
+                                                align_batch_pallas_stream)
+    rng = np.random.default_rng(5)
+    band = 160
+    reads, lens, wins = make_batch(rng, 128, 2048, band)
+    a = {k: np.asarray(v) for k, v in align_batch_pallas(
+        reads, lens, wins, SCORE_VEC, band=band).items()}
+    s = {k: np.asarray(v) for k, v in align_batch_pallas_stream(
+        reads, lens, wins, SCORE_VEC, band=band, block_rows=512).items()}
+    assert float(np.abs(a["score"] - s["score"]).max()) == 0.0
+    for k in ("n_mism", "n_ins", "n_del", "n_clip", "start_p", "end_p"):
+        assert np.array_equal(a[k], s[k]), k
