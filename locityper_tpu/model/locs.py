@@ -152,21 +152,28 @@ class HapMinimizerIndex:
         loop is the host pipeline's hotspot)."""
         if self.keys.size == 0:
             return [[] for _ in mates]
-        m_read, m_pos, m_hash, m_fwd, m_rlen = [], [], [], [], []
-        for ix, codes in enumerate(mates):
-            pos, vals, fwd = minimizers32(codes, self.k, w)
-            m_read.append(np.full(pos.size, ix, np.int64))
-            m_pos.append(pos)
-            m_hash.append(vals)
-            m_fwd.append(fwd)
-            m_rlen.append(np.full(pos.size, codes.size, np.int64))
-        if not m_read:
+        from .. import native
+        if native.available():
+            read_ix, pos, vals, fwd = native.minimizers32_batch(
+                mates, self.k, w)
+        else:
+            m_read, m_pos, m_hash, m_fwd = [], [], [], []
+            for ix, codes in enumerate(mates):
+                p_, v_, f_ = minimizers32(codes, self.k, w)
+                m_read.append(np.full(p_.size, ix, np.int64))
+                m_pos.append(p_)
+                m_hash.append(v_)
+                m_fwd.append(f_)
+            if not m_read:
+                return [[] for _ in mates]
+            read_ix = np.concatenate(m_read)
+            pos = np.concatenate(m_pos)
+            vals = np.concatenate(m_hash)
+            fwd = np.concatenate(m_fwd)
+        if read_ix.size == 0:
             return [[] for _ in mates]
-        read_ix = np.concatenate(m_read)
-        pos = np.concatenate(m_pos)
-        vals = np.concatenate(m_hash)
-        fwd = np.concatenate(m_fwd)
-        rlen = np.concatenate(m_rlen)
+        rlens_per = np.array([m.size for m in mates], np.int64)
+        rlen = rlens_per[read_ix]
 
         lo = np.searchsorted(self.keys, vals, side="left")
         hi = np.searchsorted(self.keys, vals, side="right")

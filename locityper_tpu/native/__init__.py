@@ -60,6 +60,11 @@ def get_lib():
     lib.parse_fastq.restype = ctypes.c_int64
     lib.fastq_complete_prefix.argtypes = [u8p, ctypes.c_int64]
     lib.fastq_complete_prefix.restype = ctypes.c_int64
+    lib.minimizers32_batch.argtypes = [i8p, i64p, ctypes.c_int64,
+                                       ctypes.c_int32, ctypes.c_int32,
+                                       i64p, i64p, u32p, u8p,
+                                       ctypes.c_int64]
+    lib.minimizers32_batch.restype = ctypes.c_int64
     lib.count_unique_nonoverlap.argtypes = [i8p, ctypes.c_int64,
                                             ctypes.c_int32, u64p,
                                             ctypes.c_int64]
@@ -99,6 +104,25 @@ def canonical_kmers(codes: np.ndarray, k: int):
     if m:
         lib.canonical_kmers(np.ascontiguousarray(codes), n, k, kmer, valid)
     return kmer, valid.astype(bool)
+
+
+def minimizers32_batch(mates, k: int, w: int):
+    """One native call for a whole read batch.  Returns (read_ix, pos,
+    hashes, fwd) concatenated over reads."""
+    lib = get_lib()
+    offsets = np.zeros(len(mates) + 1, np.int64)
+    for i, m in enumerate(mates):
+        offsets[i + 1] = offsets[i] + m.size
+    flat = np.concatenate([np.ascontiguousarray(m) for m in mates])         if mates else np.empty(0, np.int8)
+    cap = max(int(offsets[-1]), 1)
+    read_ix = np.empty(cap, np.int64)
+    pos = np.empty(cap, np.int64)
+    hashes = np.empty(cap, np.uint32)
+    fwd = np.empty(cap, np.uint8)
+    cnt = lib.minimizers32_batch(flat, offsets, len(mates), k, w,
+                                 read_ix, pos, hashes, fwd, cap)
+    assert cnt >= 0
+    return read_ix[:cnt], pos[:cnt], hashes[:cnt], fwd[:cnt].astype(bool)
 
 
 def count_unique_nonoverlap(codes: np.ndarray, k: int,

@@ -192,6 +192,29 @@ int64_t parse_fastq(const uint8_t* buf, int64_t n, int32_t max_len,
 }
 
 // ---------------------------------------------------------------------------
+// Batched minimizers: one call for a whole read batch (concatenated codes +
+// offsets), emitting (read_ix, pos, hash, fwd) tuples.  Avoids per-read FFI
+// overhead in the candidate generator (model/locs.py candidates_batch).
+// ---------------------------------------------------------------------------
+int64_t minimizers32_batch(const int8_t* codes, const int64_t* offsets,
+                           int64_t n_reads, int32_t k, int32_t w,
+                           int64_t* out_read, int64_t* out_pos,
+                           uint32_t* out_hash, uint8_t* out_fwd,
+                           int64_t cap) {
+    int64_t total = 0;
+    for (int64_t r = 0; r < n_reads; r++) {
+        const int8_t* seq = codes + offsets[r];
+        int64_t n = offsets[r + 1] - offsets[r];
+        if (total + (n > 0 ? n : 0) > cap) return -1;   // minimizers <= n
+        int64_t cnt = minimizers32(seq, n, k, w, out_pos + total,
+                                   out_hash + total, out_fwd + total);
+        for (int64_t j = 0; j < cnt; j++) out_read[total + j] = r;
+        total += cnt;
+    }
+    return total;
+}
+
+// ---------------------------------------------------------------------------
 // Non-overlapping unique-k-mer count (model/locs.rs:958-992 / UniqueKmers
 // .count_read): rolling canonical k-mers, membership in a sorted unique
 // table, greedy k-step skip after each hit.
