@@ -380,24 +380,39 @@ def _pair_candidates(alns1, alns2, n_haps, insert_distr, params, weight):
         if not a1 and not a2:
             continue
         local = []
-        max1 = {id(a): -np.inf for a in a1}
-        max2 = {id(a): -np.inf for a in a2}
-        for x in a1:
-            for y in a2:
-                if x.fwd != y.fwd:
-                    ins = max(x.end, y.end) - min(x.start, y.start)
-                    p = x.ln_prob + y.ln_prob + float(insert_distr.ln_prob(ins)[0])
-                    if np.isfinite(p):
-                        max1[id(x)] = max(max1[id(x)], p)
-                        max2[id(y)] = max(max2[id(y)], p)
-                        local.append(PairCand(hp, p, x.middle, y.middle, x, y))
-        for x in a1:
+        max1 = np.full(len(a1), -np.inf)
+        max2 = np.full(len(a2), -np.inf)
+        if a1 and a2:
+            # Vectorized cross product (the reference's nested loop,
+            # locs.rs:752-767): opposite orientations, insert-size prob.
+            f1 = np.fromiter((a.fwd for a in a1), bool, len(a1))
+            s1 = np.fromiter((a.start for a in a1), np.int64, len(a1))
+            e1 = np.fromiter((a.end for a in a1), np.int64, len(a1))
+            p1 = np.fromiter((a.ln_prob for a in a1), np.float64, len(a1))
+            f2 = np.fromiter((a.fwd for a in a2), bool, len(a2))
+            s2 = np.fromiter((a.start for a in a2), np.int64, len(a2))
+            e2 = np.fromiter((a.end for a in a2), np.int64, len(a2))
+            p2 = np.fromiter((a.ln_prob for a in a2), np.float64, len(a2))
+            opp = f1[:, None] != f2[None, :]
+            ins = (np.maximum(e1[:, None], e2[None, :])
+                   - np.minimum(s1[:, None], s2[None, :]))
+            p = p1[:, None] + p2[None, :] + insert_distr.ln_prob(
+                ins.ravel()).reshape(ins.shape)
+            ok = opp & np.isfinite(p)
+            pm = np.where(ok, p, -np.inf)
+            max1 = pm.max(axis=1, initial=-np.inf)
+            max2 = pm.max(axis=0, initial=-np.inf)
+            for xi, yi in zip(*np.nonzero(ok)):
+                x, y = a1[xi], a2[yi]
+                local.append(PairCand(hp, float(p[xi, yi]), x.middle,
+                                      y.middle, x, y))
+        for xi, x in enumerate(a1):
             alone = x.ln_prob + unm_ins_penalty
-            if alone >= max1[id(x)]:
+            if alone >= max1[xi]:
                 local.append(PairCand(hp, alone, x.middle, -1, x, None))
-        for y in a2:
+        for yi, y in enumerate(a2):
             alone = y.ln_prob + unm_ins_penalty
-            if alone >= max2[id(y)]:
+            if alone >= max2[yi]:
                 local.append(PairCand(hp, alone, -1, y.middle, None, y))
         local.sort(key=lambda c: -c.ln_prob)
         thresh = local[0].ln_prob - params.prob_diff
