@@ -83,6 +83,33 @@ def sharded_solve(mesh: Mesh, key, genotypes, hap_prob, hap_mid, unmapped_prob,
     return (liks[:G] if pad else liks)
 
 
+def sharded_align(mesh: Mesh, reads, rlens, hap_wins, score_vec,
+                  band: int = 48):
+    """Read-batch-sharded banded alignment (P3/P4 of SURVEY.md §2.3):
+    the [N, L] batch splits along the full mesh; each device aligns its
+    shard with the local kernel (Pallas on TPU), no collectives — the
+    embarrassing parallelism of the reference's alignment worker pools."""
+    from ..ops.align import align_batch
+
+    n = mesh.devices.size
+    N = reads.shape[0]
+    pad = (-N) % n
+    if pad:
+        reads = np.concatenate([reads, np.full((pad, reads.shape[1]), 4,
+                                               reads.dtype)])
+        rlens = np.concatenate([rlens, np.zeros(pad, rlens.dtype)])
+        hap_wins = np.concatenate(
+            [hap_wins, np.full((pad, hap_wins.shape[1]), 4, hap_wins.dtype)])
+    shard = NamedSharding(mesh, P(("read", "gt")))
+    rep = NamedSharding(mesh, P())
+    reads = jax.device_put(jnp.asarray(reads), shard)
+    rlens = jax.device_put(jnp.asarray(rlens), shard)
+    hap_wins = jax.device_put(jnp.asarray(hap_wins), shard)
+    score_vec = jax.device_put(jnp.asarray(score_vec), rep)
+    res = align_batch(reads, rlens, hap_wins, score_vec, band=band)
+    return {k: np.asarray(v)[:N] for k, v in res.items()}
+
+
 def full_step(mesh: Mesh, key, tensors, pack, bayes, genotypes, priors,
               cfg: SolverConfig, n_attempts: int = 2):
     """One full sharded genotyping step: read-sharded filter + gt-sharded
