@@ -177,6 +177,39 @@ def load_locus(db: Path, name: str) -> LocusData:
     return LocusData(cset, kc, dist)
 
 
+def _params_snapshot(args) -> dict:
+    """The analysis parameters that make old outputs incompatible (the
+    reference's MappingParams staleness check, preproc.rs:792-879)."""
+    keys = ("db", "preproc", "ploidy", "minimizer", "match_frac", "match_len",
+            "kmer_thresh", "skew", "prob_diff", "unmapped", "alt_cn",
+            "complexity", "kmers_weight", "compl_weight", "min_weight",
+            "read_kmers", "tweak", "filt_diff", "prob_thresh", "dont_skip",
+            "leave_out", "solvers", "subsample")
+    return {k: getattr(args, k, None) for k in keys}
+
+
+def _check_params_staleness(args, out: Path, rerun: Rerun) -> None:
+    """Compares this run's parameters with the ones stored in the output
+    directory; mismatches abort with guidance unless --rerun all (which
+    starts clean).  Mirrors preproc.rs:792-879."""
+    import json as _json
+    snap_path = out / "params.json"
+    snap = _params_snapshot(args)
+    if rerun is Rerun.ALL or not snap_path.exists():
+        out.mkdir(parents=True, exist_ok=True)
+        with open(snap_path, "w") as f:
+            _json.dump(snap, f, indent=1, default=str)
+        return
+    stored = _json.loads(snap_path.read_text())
+    cur = _json.loads(_json.dumps(snap, default=str))
+    diffs = [k for k in cur if stored.get(k) != cur.get(k)]
+    if diffs:
+        raise ValueError(
+            f"{out} was produced with different parameters "
+            f"({', '.join(diffs)} changed). Rerun with --rerun all to "
+            "recompute from scratch, or restore the original parameters")
+
+
 def _leave_out(data: LocusData, names: set, tag: str) -> LocusData:
     """Drops panel haplotypes by name (genotype.rs --leave-out)."""
     keep = [i for i, n in enumerate(data.contig_set.contigs.names)
@@ -376,6 +409,7 @@ def _run(args):
     rerun = Rerun.parse(args.rerun)
     bg = BgDistr.load(paths.bg_dir(args.preproc) / paths.BG_DISTR)
     tech = bg.seq_info.technology
+    _check_params_staleness(args, out, rerun)
 
     locus_names = args.loci if args.loci else list_loci(db)
     loci = {}

@@ -496,3 +496,20 @@ class TestRecruitPreset:
         rc = cli.main(["recruit", "-i", "x", "-s", "y", "-o", "z",
                        "-x", "bogus"])
         assert rc == 1
+
+
+class TestParamsStaleness:
+    def test_changed_params_abort(self, world, db, prep, tmp_path):
+        out = tmp_path / "stale"
+        base = ["genotype", "-i", str(world["r1"]), str(world["r2"]),
+                "-d", str(db), "-p", str(prep), "-o", str(out),
+                "-S", "greedy:i=5k,a=1", "anneal:i=4,a=4,n=1000,p=500",
+                "--seed", "5"]
+        assert cli.main(base) == 0
+        # Same params: clean skip.
+        assert cli.main(base) == 0
+        # Changed knob: abort with guidance.
+        assert cli.main(base + ["--skew", "0.7"]) == 1
+        # --rerun all starts clean and adopts the new params.
+        assert cli.main(base + ["--skew", "0.7", "--rerun", "all"]) == 0
+        assert cli.main(base + ["--skew", "0.7"]) == 0
