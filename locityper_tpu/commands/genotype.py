@@ -47,8 +47,10 @@ def add_args(p):
                    default="all",
                    help="Stop after a pipeline stage (genotype.rs:52-69): "
                         "'recruit' writes recruited reads and exits")
-    p.add_argument("--debug", action="store_true",
-                   help="Write per-stage solution scores (sol.csv.gz)")
+    p.add_argument("--debug", type=int, nargs="?", const=1, default=0,
+                   help="Debug CSV level (command/mod.rs DebugLvl): 1 = "
+                        "sol.csv.gz + windows.bed.gz, 2 = + read_pairs"
+                        ".csv.gz")
     p.add_argument("--out-sams", type=int, default=0,
                    help="Write read assignments for this many best genotypes "
                         "as SAM files under <locus>/alns/")
@@ -529,7 +531,8 @@ def _run(args):
                 seed=args.seed + li, tag=name, ploidy=args.ploidy,
                 priors=locus_priors, explicit_weights=explicit,
                 sam_dir=(ldir / paths.ALNS_OUT_DIR) if args.out_sams else None,
-                sol_path=(ldir / paths.SOL_CSV) if args.debug else None)
+                sol_path=(ldir / paths.SOL_CSV) if args.debug else None,
+                debug=args.debug, out_dir=ldir)
         except Exception:
             logger.exception("[%s] genotyping failed", name)
             failures += 1

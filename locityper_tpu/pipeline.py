@@ -34,7 +34,8 @@ def genotype_locus(locus: LocusData, read_pairs, names, bg: BgDistr,
                    params: Params | None = None, scheme: Scheme | None = None,
                    seed: int = 1, ploidy: int = 2, tag: str | None = None,
                    priors: dict | None = None, explicit_weights=None,
-                   sam_dir=None, sol_path=None) -> tuple[Genotyping, dict]:
+                   sam_dir=None, sol_path=None, debug: int = 0,
+                   out_dir=None) -> tuple[Genotyping, dict]:
     """Genotypes one locus from recruited reads.
 
     read_pairs: list of (codes1, codes2 | None).
@@ -67,6 +68,10 @@ def genotype_locus(locus: LocusData, read_pairs, names, bg: BgDistr,
     infos = build_contig_infos(locus.contig_set, locus.kmer_counts,
                                window_size, neighb_size, params,
                                explicit=explicit_weights)
+    if debug >= 1 and out_dir is not None:
+        _write_windows_bed(out_dir, locus.contig_set, infos)
+    if debug >= 2 and out_dir is not None:
+        _write_read_pairs_csv(out_dir, locus.contig_set, all_alns)
     pack = ContigInfoPack.pack(infos)
     tensors = LocusTensors.build(all_alns)
 
@@ -138,6 +143,39 @@ def genotype_locus(locus: LocusData, read_pairs, names, bg: BgDistr,
                       hap_seqs=locus.contig_set.seqs, score_vec=score_vec,
                       band=params.band)
     return result, stats
+
+
+def _write_windows_bed(out_dir, contig_set, infos) -> None:
+    """windows.bed.gz: per-haplotype genotyping windows with GC and weight
+    (reference genotype.rs:1132-1136 windows_writer)."""
+    from pathlib import Path
+
+    from .utils.io import smart_create
+    with smart_create(Path(out_dir) / "windows.bed.gz") as f:
+        f.write("#contig\tstart\tend\tgc\tweight\n")
+        for name, info in zip(contig_set.contigs.names, infos):
+            for ws in info.default_window_starts():
+                ws = int(ws)
+                f.write(f"{name}\t{ws}\t{ws + info.window_size}\t"
+                        f"{int(info.gc_at[ws])}\t"
+                        f"{float(info.weight_at[ws]):.5f}\n")
+
+
+def _write_read_pairs_csv(out_dir, contig_set, all_alns) -> None:
+    """read_pairs.csv.gz: every candidate location of every modeled read
+    (reference genotype.rs:1162-1166 write_read_pair_info)."""
+    from pathlib import Path
+
+    from .utils.io import smart_create
+    names = contig_set.contigs.names
+    with smart_create(Path(out_dir) / "read_pairs.csv.gz") as f:
+        f.write("read\tweight\tunmapped_prob\tcontig\tln_prob\t"
+                "middle1\tmiddle2\n")
+        for ra in all_alns.reads:
+            for c in ra.cands:
+                f.write(f"{ra.name}\t{ra.weight:.4f}\t"
+                        f"{ra.unmapped_prob:.3f}\t{names[c.hap]}\t"
+                        f"{c.ln_prob:.3f}\t{c.middle1}\t{c.middle2}\n")
 
 
 def estimate_bg_from_sim(reads1, reads2, region_seq, region_counter,
