@@ -41,6 +41,8 @@ def add_args(p):
                         "read depth by the read-count or file-size ratio "
                         "(preproc.rs:1304-1352)")
     p.add_argument("--rerun", default="none")
+    p.add_argument("--debug", action="store_true",
+                   help="Write depth estimation debug CSV (bg/depth.csv.gz)")
     p.add_argument("--describe", action="store_true",
                    help="Print the stored background distributions and exit")
     return p
@@ -216,7 +218,8 @@ def run(args):
     logger.info("Loaded %d reads%s", len(reads1),
                 " (paired)" if reads2 else "")
 
-    bg = estimate_bg_from_sim(reads1, reads2, region, counter, tech)
+    bg = estimate_bg_from_sim(reads1, reads2, region, counter, tech,
+                              debug_dir=bg_dir if args.debug else None)
     total_reads, total_size = _count_input(args.input)
     bg.seq_info.total_reads = total_reads // (2 if reads2 else 1)
     bg.seq_info.file_size = total_size

@@ -180,7 +180,8 @@ def _write_read_pairs_csv(out_dir, contig_set, all_alns) -> None:
 
 def estimate_bg_from_sim(reads1, reads2, region_seq, region_counter,
                          technology, window_size=None,
-                         depth_params=None, seed=0) -> BgDistr:
+                         depth_params=None, seed=0,
+                         debug_dir=None) -> BgDistr:
     """Estimates all background distributions by aligning reads to a single
     background region (counterpart of preproc estimate_bg_distrs,
     command/preproc.rs:1076-1165)."""
@@ -271,6 +272,19 @@ def estimate_bg_from_sim(reads1, reads2, region_seq, region_counter,
     depth_counts = np.zeros(len(win), np.int64)
     np.add.at(depth_counts, w[ok], 1)
     keep = win.keep
+    if debug_dir is not None:
+        # depth.csv.gz: per-window depth counts with GC and keep flag
+        # (reference bg/depth.rs:204-238 debug writer).
+        from pathlib import Path
+
+        from .utils.io import smart_create
+        Path(debug_dir).mkdir(parents=True, exist_ok=True)
+        with smart_create(Path(debug_dir) / "depth.csv.gz") as f:
+            f.write("window\tstart\tgc\tcount\tkeep\n")
+            for i in range(len(win)):
+                f.write(f"{i}\t{win.region_start + i * wsize}\t"
+                        f"{int(win.gc[i])}\t{int(depth_counts[i])}\t"
+                        f"{int(win.keep[i])}\n")
     depth = ReadDepth.estimate(depth_counts[keep], win.gc[keep], wsize, neighb,
                                depth_params,
                                has_gc_bias=technology.has_gc_bias)
