@@ -147,7 +147,9 @@ def _mate_counters(reads, cfg: _Cfg, keys, fw_mask, bw_mask, rare_mask):
     mask = jnp.take_along_axis(mask, order, axis=1)
 
     M = keys.shape[0]
-    idx = jnp.searchsorted(keys, h.reshape(-1)).reshape(B, S)
+    # method='sort' (one global sort of queries+keys) is ~4x faster on TPU
+    # than the default scan (log2(M) sequential gathers) at this size.
+    idx = jnp.searchsorted(keys, h.reshape(-1), method="sort").reshape(B, S)
     idx = jnp.minimum(idx, M - 1)
     found = (keys[idx] == h) & mask
 
