@@ -27,7 +27,7 @@ class LocusTensors:
     kh: int
 
     @classmethod
-    def build(cls, all_alns: AllAlignments, kh: int = 8,
+    def build(cls, all_alns: AllAlignments, kh: int = 10,
               pad_reads: bool = True) -> "LocusTensors":
         """pad_reads: round R up to a power of two (min 64) with dummy
         always-unmapped reads so the solver compiles once per bucket, not

@@ -52,6 +52,9 @@ class SolverConfig:
     # per-step acceptance thinning.
     anneal_steps_b: int = 500
     move_thin: float = 0.3
+    # Pallas kernel depth-table height (ops/solver_pallas.py).  Depths
+    # above this clamp to the last row; the XLA engine uses DEPTH_CAP=256.
+    d_tab: int = 64
 
 
 def _gather_candidates(hap_prob, hap_mid, unmapped_prob, gt, prob_diff):

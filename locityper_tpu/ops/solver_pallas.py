@@ -38,7 +38,6 @@ from jax.experimental.pallas import tpu as pltpu
 from .solver import (NEG, SolverConfig, _compact_valid, _gather_candidates,
                      _read_windows, _window_tables)
 
-D_TAB = 32          # depth table height (values above clamp)
 HI16 = 1 << 16
 M16 = 0xFFFF
 
@@ -63,7 +62,7 @@ def _kernel(seed_ref, cool_ref, probs_ref, winpk_ref, vcount_ref, nt_ref,
             ntc_ref, wtabf_ref, assgn0_ref, depth0_ref, cache0_ref,
             lik_out, assgn_out,
             *, R: int, K: int, W: int, TB: int, n_steps: int,
-            anneal_steps: int, dc: float, ac: float):
+            anneal_steps: int, dc: float, ac: float, D_TAB: int):
     pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
     iota_r = jax.lax.broadcasted_iota(jnp.int32, (R, TB), 0)
     iota_w = jax.lax.broadcasted_iota(jnp.int32, (W, TB), 0)
@@ -71,7 +70,7 @@ def _kernel(seed_ref, cool_ref, probs_ref, winpk_ref, vcount_ref, nt_ref,
 
     vcount = vcount_ref[:]
     ntc = ntc_ref[:]
-    start_temp = cool_ref[0]
+    start_temp = cool_ref[:]         # [1, TB] per-chain T0 (stoch.rs:195-226)
     assgn = assgn0_ref[:]
     depth = depth0_ref[:]
     cache = cache0_ref[:]
@@ -187,6 +186,7 @@ def _prepare_chains(key, genotypes, attempts, hap_prob, hap_mid,
                     weight_at, bayes, cfg: SolverConfig, max_windows: int,
                     random_init: bool):
     """Builds per-chain tensors (XLA, one-time per stage)."""
+    D_TAB = cfg.d_tab
 
     def one_chain(k, gt):
         probs, mids, slots, valid = _gather_candidates(
@@ -270,6 +270,7 @@ def solve_genotypes_pallas(key, genotypes, hap_prob, hap_mid, unmapped_prob,
     Cp = C + pad
     R, K = probs.shape[1], probs.shape[2]
     W = wtab.shape[1]
+    D_TAB = cfg.d_tab
 
     # 2D feeds, chain axis on lanes.
     probs_t = jnp.transpose(probs, (2, 1, 0)).reshape(K * R, Cp)
@@ -282,12 +283,12 @@ def solve_genotypes_pallas(key, genotypes, hap_prob, hap_mid, unmapped_prob,
     depth0_t = jnp.transpose(depth0, (1, 0))
     cache0_t = jnp.transpose(cache0, (1, 0))
     seed = jax.random.randint(kk, (1,), 0, 2**31 - 1, dtype=jnp.int32)
-    cool = jnp.mean(start_temp)[None].astype(jnp.float32)
+    cool = start_temp[None, :].astype(jnp.float32)      # [1, Cp] per chain
 
     kernel = functools.partial(
         _kernel, R=R, K=K, W=W, TB=TB, n_steps=n_steps,
         anneal_steps=cfg.anneal_steps, dc=float(cfg.depth_contrib),
-        ac=float(cfg.aln_contrib))
+        ac=float(cfg.aln_contrib), D_TAB=D_TAB)
     grid = (Cp // TB,)
 
     def vspec(rows):
@@ -301,7 +302,7 @@ def solve_genotypes_pallas(key, genotypes, hap_prob, hap_mid, unmapped_prob,
             vmem_limit_bytes=100 * 1024 * 1024),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            vspec(1),
             vspec(K * R), vspec(K * R), vspec(R), vspec(R), vspec(1),
             vspec(W * D_TAB), vspec(R), vspec(W), vspec(W),
         ],
