@@ -33,7 +33,43 @@ class LocusTensors:
         always-unmapped reads so the solver compiles once per bucket, not
         once per locus.  Dummies have only the unmapped candidate (trivial),
         are never proposed as moves, and add a constant 0 to the likelihood.
+
+        Array-native path: candidate arrays are already grouped by
+        (read, hap) with probs descending, so the slot index is the rank
+        within each run — one vectorized scatter, no per-read Python.
         """
+        H = all_alns.n_haps
+        if hasattr(all_alns, "used_candidates"):
+            cr, ch, cp, cm1, cm2 = all_alns.used_candidates()
+            R_real = all_alns.n_used
+            unm_used = all_alns.unmapped[all_alns.used_mask]
+        else:   # object-path oracle (tests)
+            return cls._build_from_objects(all_alns, kh, pad_reads)
+        R = R_real
+        if pad_reads:
+            R = 64
+            while R < R_real:
+                R *= 2
+        prob = np.full((H, R, kh), NEG, np.float32)
+        mid = np.full((H, R, kh, 2), -1, np.int32)
+        unm = np.zeros(R, np.float32)
+        unm[:R_real] = unm_used
+        if cr.size:
+            gnew = np.ones(cr.size, bool)
+            gnew[1:] = (cr[1:] != cr[:-1]) | (ch[1:] != ch[:-1])
+            gstart = np.nonzero(gnew)[0]
+            gsize = np.diff(np.concatenate([gstart, [cr.size]]))
+            slot = np.arange(cr.size) - np.repeat(gstart, gsize)
+            sel = slot < kh
+            prob[ch[sel], cr[sel], slot[sel]] = cp[sel]
+            mid[ch[sel], cr[sel], slot[sel], 0] = cm1[sel]
+            mid[ch[sel], cr[sel], slot[sel], 1] = cm2[sel]
+        return cls(prob, mid, unm, H, R_real, kh)
+
+    @classmethod
+    def _build_from_objects(cls, all_alns, kh: int = 10,
+                            pad_reads: bool = True) -> "LocusTensors":
+        """Per-read oracle twin of `build` over ReadAlns objects."""
         H = all_alns.n_haps
         R_real = len(all_alns.reads)
         R = R_real

@@ -34,7 +34,10 @@ def get_lib():
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not _LIB_PATH.exists() and not _build():
+    # `make` is a no-op when the .so is newer than kernels.cpp; running it
+    # unconditionally keeps the library in sync with source changes.
+    _build()
+    if not _LIB_PATH.exists():
         return None
     try:
         lib = ctypes.CDLL(str(_LIB_PATH))
@@ -69,6 +72,9 @@ def get_lib():
                                             ctypes.c_int32, u64p,
                                             ctypes.c_int64]
     lib.count_unique_nonoverlap.restype = ctypes.c_int64
+    lib.count_unique_nonoverlap_batch.argtypes = [
+        i8p, i64p, ctypes.c_int64, ctypes.c_int32, u64p, ctypes.c_int64,
+        i64p]
     f32p = np.ctypeslib.ndpointer(np.float32, flags="C")
     lib.banded_align_cigar.argtypes = [
         i8p, ctypes.c_int64, i8p, ctypes.c_int64, ctypes.c_int32, f32p,
@@ -132,6 +138,22 @@ def count_unique_nonoverlap(codes: np.ndarray, k: int,
     return int(lib.count_unique_nonoverlap(
         np.ascontiguousarray(codes), codes.size, k,
         np.ascontiguousarray(uniq_sorted, np.uint64), uniq_sorted.size))
+
+
+def count_unique_nonoverlap_batch(mates, k: int,
+                                  uniq_sorted: np.ndarray) -> np.ndarray:
+    """count_unique_nonoverlap over a whole read list in one native call."""
+    lib = get_lib()
+    offsets = np.zeros(len(mates) + 1, np.int64)
+    for i, m in enumerate(mates):
+        offsets[i + 1] = offsets[i] + m.size
+    flat = (np.concatenate([np.ascontiguousarray(m) for m in mates])
+            if mates else np.empty(0, np.int8))
+    out = np.zeros(max(len(mates), 1), np.int64)
+    lib.count_unique_nonoverlap_batch(
+        flat, offsets, len(mates), k,
+        np.ascontiguousarray(uniq_sorted, np.uint64), uniq_sorted.size, out)
+    return out[:len(mates)]
 
 
 def banded_align_cigar(query: np.ndarray, twin: np.ndarray, band: int,

@@ -247,6 +247,19 @@ int64_t count_unique_nonoverlap(const int8_t* codes, int64_t n, int32_t k,
     return count;
 }
 
+// Batched variant: one call for a whole read set (flat codes + offsets),
+// amortizing the Python/ctypes boundary over the batch.
+void count_unique_nonoverlap_batch(const int8_t* codes, const int64_t* offsets,
+                                   int64_t n_reads, int32_t k,
+                                   const uint64_t* uniq, int64_t m,
+                                   int64_t* out) {
+    for (int64_t r = 0; r < n_reads; r++) {
+        out[r] = count_unique_nonoverlap(codes + offsets[r],
+                                         offsets[r + 1] - offsets[r], k,
+                                         uniq, m);
+    }
+}
+
 // ---------------------------------------------------------------------------
 // Banded ML alignment WITH traceback (host twin of ops/align.py _align_one;
 // reference role: WFA2-lib seq/wfa.rs + cigar.rs — CIGAR production for

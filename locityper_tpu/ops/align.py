@@ -216,16 +216,17 @@ def align_batch_auto(reads, rlens, hap_wins, score_vec, band: int = 48):
 
 def extract_windows(hap: np.ndarray, win_starts: np.ndarray, width: int) -> np.ndarray:
     """Gathers [len(win_starts), width] windows from a haplotype, padding
-    out-of-range positions with code 4."""
+    out-of-range positions with code 4 (vectorized gather, no per-row
+    Python)."""
     n = win_starts.size
-    out = np.full((n, width), 4, dtype=np.int8)
-    H = hap.size
-    for i, s in enumerate(win_starts):
-        lo = max(int(s), 0)
-        hi = min(int(s) + width, H)
-        if hi > lo:
-            out[i, lo - int(s):hi - int(s)] = hap[lo:hi]
-    return out
+    if n == 0:
+        return np.full((0, width), 4, dtype=np.int8)
+    idx = win_starts.astype(np.int64)[:, None] + np.arange(width)[None, :]
+    # Clamp to a sentinel slot holding code 4 on both ends.
+    np.clip(idx, -1, hap.size, out=idx)
+    padded = np.full(hap.size + 2, 4, dtype=np.int8)
+    padded[1:-1] = hap
+    return padded[idx + 1]
 
 
 def edit_and_matches(res: dict, rlens: np.ndarray):

@@ -57,10 +57,10 @@ def genotype_locus(locus: LocusData, read_pairs, names, bg: BgDistr,
         read_pairs, names, locus.contig_set, locus.kmer_counts, bg,
         edit_cache, params)
     logger.info("    [%s] %d/%d reads usable (%d poorly mapped, %d out of "
-                "bounds, %d low weight)", tag, len(all_alns.reads),
+                "bounds, %d low weight)", tag, all_alns.n_used,
                 stats["total"], stats["poorly_mapped"], stats["out_of_bounds"],
                 stats["few_kmers"])
-    if not all_alns.reads:
+    if not all_alns.n_used:
         return Genotyping(tag=tag, genotypes=[], ln_probs=np.empty(0),
                           predictions=[], quality=0.0, total_reads=0,
                           warnings=["NoReads"]), stats
@@ -113,7 +113,7 @@ def genotype_locus(locus: LocusData, read_pairs, names, bg: BgDistr,
                                  or result.ln_probs[0] < -2.0 * np.log(10.0)):
         result.warnings.append("NoProbableGenotype")
     # Read-count sanity (check_num_of_reads, solve.rs:636-665).
-    n_reads = len(all_alns.reads)
+    n_reads = all_alns.n_used
     if n_reads < ploidy:
         result.warnings.append(f"FewReads({n_reads})")
     elif ploidy > 1 and n_reads < ploidy * 10:
@@ -128,8 +128,8 @@ def genotype_locus(locus: LocusData, read_pairs, names, bg: BgDistr,
         Path(sam_dir).mkdir(parents=True, exist_ok=True)
         hap_names = locus.contig_set.contigs.names
         hap_lens = [s.size for s in locus.contig_set.seqs]
-        read_names = [ra.name for ra in all_alns.reads]
-        weights = [ra.weight for ra in all_alns.reads]
+        read_names = all_alns.names_used
+        weights = all_alns.weights_used
         score_vec = bg.err_prof.score_vec()
         for i, (gt, pred) in enumerate(zip(result.genotypes,
                                            result.predictions)):
@@ -215,8 +215,9 @@ def estimate_bg_from_sim(reads1, reads2, region_seq, region_counter,
             mates.append(reads2[i])
             mate_read.append(i)
             mate_end.append(1)
-    cands = hap_index.candidates_batch(mates, 10, 48, 2, 2)
-    aln_lists = _align_candidates(mates, cands, cset, score_vec, 48)
+    jobs = hap_index.candidates_batch_flat(mates, 10, 48, 2, 2)
+    aln_lists = _align_candidates(mates, jobs, cset, score_vec,
+                                  48).to_lists(len(mates))
 
     # Pick the best alignment per mate.
     best = [max(a, key=lambda x: x.ln_prob) if a else None for a in aln_lists]

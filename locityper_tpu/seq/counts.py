@@ -3,8 +3,7 @@
 Replaces the reference's jellyfish subprocess (seq/counts.rs:253-363) with a
 host-side sorted-array counter: all canonical k-mers of the genome are packed
 into uint64 (k ≤ 31), sorted once, and per-sequence counts are obtained with
-binary search — a vectorized O(log G) probe per k-mer.  A C++ native counter
-(native/) slots in behind the same interface for full-genome scale.
+binary search — a vectorized O(log G) probe per k-mer.
 
 `off_target_counts` mirrors seq/counts.rs:174-224: genome-wide counts minus
 occurrences inside the locus region itself, so "count == 0" means the k-mer

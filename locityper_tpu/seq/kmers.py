@@ -1,8 +1,8 @@
 """Canonical k-mers and minimizers, vectorized over whole sequences.
 
 Behavioral counterpart of reference seq/kmers.rs, restructured from a rolling
-scalar loop into dense numpy array ops (the same algorithm runs on device in
-ops/minimizers.py):
+scalar loop into dense numpy array ops (the device recruitment twin in
+ops/recruit.py reuses the same hash):
 
 * k-mers: 2-bit packed, canonical = min(forward, revcomp) (kmers.rs:163-202).
   K-mers containing invalid bases get UNDEF = 2^64-1 (kmers.rs:26-29).
