@@ -179,20 +179,29 @@ class HapMinimizerIndex:
         if native.available():
             read_ix, pos, vals, fwd = native.minimizers32_batch(
                 mates, self.k, w)
-        else:
-            m_read, m_pos, m_hash, m_fwd = [], [], [], []
-            for ix, codes in enumerate(mates):
-                p_, v_, f_ = minimizers32(codes, self.k, w)
-                m_read.append(np.full(p_.size, ix, np.int64))
-                m_pos.append(p_)
-                m_hash.append(v_)
-                m_fwd.append(f_)
-            if not m_read:
+            if read_ix.size == 0:
                 return empty
-            read_ix = np.concatenate(m_read)
-            pos = np.concatenate(m_pos)
-            vals = np.concatenate(m_hash)
-            fwd = np.concatenate(m_fwd)
+            # Full native path: lookup + voting + top-N in C++ (threaded),
+            # bit-identical to the numpy grouping below (tests guard).
+            rlens_per = np.fromiter((m.size for m in mates), np.int64,
+                                    len(mates))
+            return native.anchor_votes(
+                read_ix, pos, vals, fwd, rlens_per, self.keys, self.hap,
+                self.pos, self.fwd, self.k, max(band // 2, 1), min_votes,
+                max_per_hap)
+        m_read, m_pos, m_hash, m_fwd = [], [], [], []
+        for ix, codes in enumerate(mates):
+            p_, v_, f_ = minimizers32(codes, self.k, w)
+            m_read.append(np.full(p_.size, ix, np.int64))
+            m_pos.append(p_)
+            m_hash.append(v_)
+            m_fwd.append(f_)
+        if not m_read:
+            return empty
+        read_ix = np.concatenate(m_read)
+        pos = np.concatenate(m_pos)
+        vals = np.concatenate(m_hash)
+        fwd = np.concatenate(m_fwd)
         if read_ix.size == 0:
             return empty
         rlens_per = np.array([m.size for m in mates], np.int64)

@@ -75,6 +75,13 @@ def get_lib():
     lib.count_unique_nonoverlap_batch.argtypes = [
         i8p, i64p, ctypes.c_int64, ctypes.c_int32, u64p, ctypes.c_int64,
         i64p]
+    lib.anchor_votes.argtypes = [
+        i64p, i64p, u32p, u8p, ctypes.c_int64,          # minimizers
+        i64p, ctypes.c_int64,                           # rlens
+        u32p, i32p, i32p, u8p, ctypes.c_int64,          # index
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        i64p, i64p, i64p, i64p, ctypes.c_int64]
+    lib.anchor_votes.restype = ctypes.c_int64
     f32p = np.ctypeslib.ndpointer(np.float32, flags="C")
     lib.banded_align_cigar.argtypes = [
         i8p, ctypes.c_int64, i8p, ctypes.c_int64, ctypes.c_int32, f32p,
@@ -129,6 +136,36 @@ def minimizers32_batch(mates, k: int, w: int):
                                  read_ix, pos, hashes, fwd, cap)
     assert cnt >= 0
     return read_ix[:cnt], pos[:cnt], hashes[:cnt], fwd[:cnt].astype(bool)
+
+
+def anchor_votes(read_ix, pos, hashes, fwd, rlens, idx_keys, idx_hap,
+                 idx_pos, idx_fwd, k: int, bstep: int, min_votes: int,
+                 max_per_hap: int):
+    """Native anchor voting (model/locs.py candidates_batch_flat twin).
+    Returns flat (read, hap, orient, diag) int64 arrays."""
+    lib = get_lib()
+    n_reads = rlens.size
+    cap = max(int(read_ix.size) * 2, 1 << 12)
+    fwd8 = np.ascontiguousarray(fwd, np.uint8)
+    ifwd8 = np.ascontiguousarray(idx_fwd, np.uint8)
+    while True:
+        o_read = np.empty(cap, np.int64)
+        o_hap = np.empty(cap, np.int64)
+        o_orient = np.empty(cap, np.int64)
+        o_diag = np.empty(cap, np.int64)
+        n = lib.anchor_votes(
+            np.ascontiguousarray(read_ix, np.int64),
+            np.ascontiguousarray(pos, np.int64),
+            np.ascontiguousarray(hashes, np.uint32), fwd8, read_ix.size,
+            np.ascontiguousarray(rlens, np.int64), n_reads,
+            np.ascontiguousarray(idx_keys, np.uint32),
+            np.ascontiguousarray(idx_hap, np.int32),
+            np.ascontiguousarray(idx_pos, np.int32), ifwd8, idx_keys.size,
+            k, bstep, min_votes, max_per_hap,
+            o_read, o_hap, o_orient, o_diag, cap)
+        if n >= 0:
+            return o_read[:n], o_hap[:n], o_orient[:n], o_diag[:n]
+        cap *= 4
 
 
 def count_unique_nonoverlap(codes: np.ndarray, k: int,

@@ -389,6 +389,182 @@ int64_t banded_align_cigar(const int8_t* query, int64_t qlen,
     return n_ops;
 }
 
+// ---------------------------------------------------------------------------
+// Anchor voting (host twin of model/locs.py candidates_batch_flat, numpy
+// fallback path; reference role: strobealign seeding inside recruit/locs).
+// For each read's minimizers: binary-search the panel index, expand matching
+// entries to (hap, orient, diagonal) anchors, vote per (hap, orient,
+// diagonal-bucket), keep buckets with >= min_votes, and emit the top
+// max_per_hap buckets per (hap, orient) by votes (ties: bucket ascending) —
+// bit-identical ordering and rounding to the numpy path
+// (tests/test_model_units.py parity).
+// Returns rows written, or -1 if cap would be exceeded.
+// ---------------------------------------------------------------------------
+
+}  // extern "C" (pause: C++ internals below)
+
+#include <algorithm>
+#include <cmath>
+#include <thread>
+#include <vector>
+
+namespace {
+
+struct Anchor {
+    uint64_t key;    // (hap << 33) | (orient << 32) | biased bucket
+    int64_t diag;
+};
+
+static inline int64_t floordiv64(int64_t a, int64_t b) {
+    int64_t q = a / b, r = a % b;
+    return (r != 0 && ((r < 0) != (b < 0))) ? q - 1 : q;
+}
+
+struct Group {
+    int64_t hap;
+    int64_t orient;
+    int64_t votes;
+    int64_t diag;
+};
+
+static void anchor_votes_range(
+    int64_t r_lo, int64_t r_hi, const int64_t* rstart,
+    const int64_t* mpos, const uint32_t* mhash, const uint8_t* mfwd,
+    const int64_t* rlens,
+    const uint32_t* keys, const int32_t* ihap, const int32_t* ipos,
+    const uint8_t* ifwd, int64_t n_idx,
+    int32_t k, int32_t bstep, int32_t min_votes, int32_t max_per_hap,
+    std::vector<int64_t>& out) {
+    std::vector<Anchor> anchors;
+    std::vector<Group> groups;
+    for (int64_t r = r_lo; r < r_hi; r++) {
+        anchors.clear();
+        groups.clear();
+        const int64_t rlen = rlens[r];
+        for (int64_t t = rstart[r]; t < rstart[r + 1]; t++) {
+            const uint32_t h = mhash[t];
+            // lower_bound / upper_bound over the sorted key table.
+            int64_t lo = std::lower_bound(keys, keys + n_idx, h) - keys;
+            for (int64_t e = lo; e < n_idx && keys[e] == h; e++) {
+                const bool same = (ifwd[e] != 0) == (mfwd[t] != 0);
+                int64_t diag;
+                int64_t orient;
+                if (same) {
+                    orient = 0;
+                    diag = (int64_t)ipos[e] - mpos[t];
+                } else {
+                    orient = 1;
+                    diag = (int64_t)ipos[e] - (rlen - k - mpos[t]);
+                }
+                const int64_t bucket = floordiv64(diag, bstep);
+                const uint64_t key = ((uint64_t)ihap[e] << 33)
+                    | ((uint64_t)orient << 32)
+                    | (uint32_t)((int32_t)bucket ^ (int32_t)0x80000000);
+                anchors.push_back({key, diag});
+            }
+        }
+        if (anchors.empty()) continue;
+        std::sort(anchors.begin(), anchors.end(),
+                  [](const Anchor& a, const Anchor& b) {
+                      return a.key < b.key;
+                  });
+        // Run-length vote per (hap, orient, bucket).
+        for (size_t s = 0; s < anchors.size();) {
+            size_t e = s;
+            int64_t dsum = 0;
+            while (e < anchors.size() && anchors[e].key == anchors[s].key) {
+                dsum += anchors[e].diag;
+                e++;
+            }
+            const int64_t votes = (int64_t)(e - s);
+            if (votes >= min_votes) {
+                const int64_t hap = (int64_t)(anchors[s].key >> 33);
+                const int64_t orient = (anchors[s].key >> 32) & 1;
+                // round-half-even, matching np.round(dsum / votes).
+                const int64_t diag = (int64_t)std::nearbyint(
+                    (double)dsum / (double)votes);
+                groups.push_back({hap, orient, votes, diag});
+            }
+            s = e;
+        }
+        // Top max_per_hap per (hap, orient) by votes desc; stable sort keeps
+        // bucket-ascending order among equal-vote groups.
+        std::stable_sort(groups.begin(), groups.end(),
+                         [](const Group& a, const Group& b) {
+                             if (a.hap != b.hap) return a.hap < b.hap;
+                             if (a.orient != b.orient)
+                                 return a.orient < b.orient;
+                             return a.votes > b.votes;
+                         });
+        int64_t prev_hap = -1, prev_or = -1, taken = 0;
+        for (const Group& g : groups) {
+            if (g.hap != prev_hap || g.orient != prev_or) {
+                prev_hap = g.hap;
+                prev_or = g.orient;
+                taken = 0;
+            }
+            if (taken < max_per_hap) {
+                out.push_back(r);
+                out.push_back(g.hap);
+                out.push_back(g.orient);
+                out.push_back(g.diag);
+                taken++;
+            }
+        }
+    }
+}
+
+}  // namespace
+
+extern "C" {
+
+int64_t anchor_votes(const int64_t* mread, const int64_t* mpos,
+                     const uint32_t* mhash, const uint8_t* mfwd, int64_t T,
+                     const int64_t* rlens, int64_t n_reads,
+                     const uint32_t* keys, const int32_t* ihap,
+                     const int32_t* ipos, const uint8_t* ifwd, int64_t n_idx,
+                     int32_t k, int32_t bstep, int32_t min_votes,
+                     int32_t max_per_hap,
+                     int64_t* out_read, int64_t* out_hap, int64_t* out_orient,
+                     int64_t* out_diag, int64_t cap) {
+    // Per-read minimizer spans (mread is sorted ascending).
+    std::vector<int64_t> rstart(n_reads + 1, 0);
+    for (int64_t t = 0; t < T; t++) rstart[mread[t] + 1]++;
+    for (int64_t r = 0; r < n_reads; r++) rstart[r + 1] += rstart[r];
+
+    int n_threads = (int)std::thread::hardware_concurrency();
+    if (n_threads < 1) n_threads = 1;
+    if (n_threads > 8) n_threads = 8;
+    if (n_reads < 256) n_threads = 1;
+    std::vector<std::vector<int64_t>> parts(n_threads);
+    std::vector<std::thread> threads;
+    const int64_t chunk = (n_reads + n_threads - 1) / n_threads;
+    for (int i = 0; i < n_threads; i++) {
+        const int64_t lo = i * chunk;
+        const int64_t hi = std::min(n_reads, lo + chunk);
+        if (lo >= hi) continue;
+        threads.emplace_back(anchor_votes_range, lo, hi, rstart.data(),
+                             mpos, mhash, mfwd, rlens, keys, ihap, ipos,
+                             ifwd, n_idx, k, bstep, min_votes, max_per_hap,
+                             std::ref(parts[i]));
+    }
+    for (auto& th : threads) th.join();
+    int64_t total = 0;
+    for (auto& p : parts) total += (int64_t)(p.size() / 4);
+    if (total > cap) return -1;
+    int64_t w = 0;
+    for (auto& p : parts) {
+        for (size_t s = 0; s < p.size(); s += 4) {
+            out_read[w] = p[s];
+            out_hap[w] = p[s + 1];
+            out_orient[w] = p[s + 2];
+            out_diag[w] = p[s + 3];
+            w++;
+        }
+    }
+    return total;
+}
+
 // Bytes consumed by complete FASTQ records within buf[0..n) (for chunked IO).
 int64_t fastq_complete_prefix(const uint8_t* buf, int64_t n) {
     int64_t i = 0, last_complete = 0;

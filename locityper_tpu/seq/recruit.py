@@ -65,12 +65,19 @@ class RecruitParams:
 
     @property
     def stretch_score(self) -> int:
-        s = self.stretch_minims * ((SUBSUM_BONUS + SUBSUM_PENALTY) * self.match_frac
-                                   - SUBSUM_PENALTY)
-        return int(np.ceil(max(s, float(SUBSUM_BONUS))))
+        # Integer-exact ceil over the rational match_frac = p/q, so the host
+        # and device paths agree bit-for-bit at threshold boundaries.
+        frac = self.match_frac_rational
+        p, q = frac.numerator, frac.denominator
+        num = self.stretch_minims * ((SUBSUM_BONUS + SUBSUM_PENALTY) * p
+                                     - SUBSUM_PENALTY * q)
+        num = max(num, SUBSUM_BONUS * q)
+        return -(-num // q)
 
     def long_read_threshold(self, n_minims: int) -> int:
-        return max(1, int(np.ceil(min(self.stretch_minims, n_minims) * self.match_frac)))
+        frac = self.match_frac_rational
+        num = min(self.stretch_minims, n_minims) * frac.numerator
+        return max(1, -(-num // frac.denominator))
 
 
 # Entry info bits: bit0 = backward, bit1 = forward, bit2 = rare.
