@@ -258,14 +258,30 @@ def recruit_reads(loci: dict, read_iter, recruit_params: RecruitParams,
     progress = Progress(logger, "reads")
     rng = np.random.default_rng(seed)
     dev = None
+    LONG_CAP = 1 << 17          # longer single reads fall back to host
 
-    def flush(buf):
+    def get_dev():
         nonlocal dev
+        if dev is None:
+            from ..ops.recruit import DeviceIndex
+            dev = DeviceIndex.from_index(index)
+        return dev
+
+    def scatter_hits(buf, hits, paired):
+        hits = np.asarray(hits[:len(buf)], bool)
+        ri, li = np.nonzero(hits)
+        for i, lx in zip(ri, li):
+            name, c1, c2 = buf[i]
+            pairs, names = out[order[lx]]
+            pairs.append((c1, c2) if paired else (c1, None))
+            names.append(name)
+        progress.add(len(buf), int(hits.any(axis=1).sum()))
+        buf.clear()
+
+    def flush_pairs(buf):
         if not buf:
             return
-        from ..ops.recruit import DeviceIndex, run_pairs
-        if dev is None:
-            dev = DeviceIndex.from_index(index)
+        from ..ops.recruit import run_pairs
         L = max(max(c1.size, c2.size) for _, c1, c2 in buf)
         L = -(-L // 64) * 64
         B = batch  # fixed batch shape; short flushes are padded
@@ -274,24 +290,56 @@ def recruit_reads(loci: dict, read_iter, recruit_params: RecruitParams,
         for i, (_, c1, c2) in enumerate(buf):
             m1[i, :c1.size] = c1[:L]
             m2[i, :c2.size] = c2[:L]
-        hits = np.asarray(run_pairs(dev, m1, m2)[:len(buf)], bool)
-        ri, li = np.nonzero(hits)
-        for i, lx in zip(ri, li):
-            name, c1, c2 = buf[i]
-            pairs, names = out[order[lx]]
-            pairs.append((c1, c2))
-            names.append(name)
-        progress.add(len(buf), int(hits.any(axis=1).sum()))
-        buf.clear()
+        scatter_hits(buf, run_pairs(get_dev(), m1, m2), paired=True)
 
-    buf = []
+    def flush_shorts(buf):
+        if not buf:
+            return
+        from ..ops.recruit import run_short
+        L = max(c1.size for _, c1, _ in buf)
+        L = -(-L // 64) * 64
+        m1 = np.full((batch, L), 4, np.int8)
+        for i, (_, c1, _) in enumerate(buf):
+            m1[i, :c1.size] = c1[:L]
+        scatter_hits(buf, run_short(get_dev(), m1), paired=False)
+
+    def flush_long(L, buf):
+        """One bucketed device batch of long single reads (Kadane stretch
+        kernel, ops/recruit.py run_long — recruit.rs:940-997)."""
+        if not buf:
+            return
+        from ..ops.recruit import run_long
+        B = max((1 << 21) // L, 8)
+        m1 = np.full((B, L), 4, np.int8)
+        for i, (_, c1, _) in enumerate(buf):
+            m1[i, :c1.size] = c1
+        p = index.params
+        scatter_hits(buf, run_long(get_dev(), m1, p.stretch_minims,
+                                   p.stretch_score), paired=False)
+
+    pair_buf, short_buf = [], []
+    long_bufs = {}              # L bucket (pow2) -> list
     for name, c1, c2 in read_iter:
         if subsample is not None and rng.random() >= subsample:
             continue
         if use_device and c2 is not None and c1.size <= 500 and c2.size <= 500:
-            buf.append((name, c1, c2))
-            if len(buf) >= batch:
-                flush(buf)
+            pair_buf.append((name, c1, c2))
+            if len(pair_buf) >= batch:
+                flush_pairs(pair_buf)
+            continue
+        if use_device and c2 is None and c1.size <= 500:
+            short_buf.append((name, c1, None))
+            if len(short_buf) >= batch:
+                flush_shorts(short_buf)
+            continue
+        if use_device and c2 is None and c1.size <= LONG_CAP:
+            L = 1024
+            while L < c1.size:
+                L *= 2
+            buf = long_bufs.setdefault(L, [])
+            buf.append((name, c1, None))
+            if len(buf) >= max((1 << 21) // L, 8):
+                flush_long(L, buf)
             continue
         hit = recruit_any(index, c1, c2)
         for locus_ix in hit:
@@ -299,7 +347,10 @@ def recruit_reads(loci: dict, read_iter, recruit_params: RecruitParams,
             pairs.append((c1, c2))
             names.append(name)
         progress.add(1, int(bool(hit)))
-    flush(buf)
+    flush_pairs(pair_buf)
+    flush_shorts(short_buf)
+    for L, buf in sorted(long_bufs.items()):
+        flush_long(L, buf)
     speed = progress.final()
     return out, speed
 

@@ -240,3 +240,48 @@ class TestDeviceRecruit:
         assert got[0].tolist() == [True, False]
         assert got[1].tolist() == [False, True]
         assert got[2].tolist() == [False, False]
+
+
+class TestDeviceLongRecruit:
+    """Device long-read kernel must reproduce host decisions exactly
+    (Kadane stretch as an associative scan; recruit.rs:940-997)."""
+
+    def _batch(self, reads, L):
+        B = len(reads)
+        out = np.full((B, L), 4, np.int8)
+        for i, r in enumerate(reads):
+            out[i, :min(r.size, L)] = r[:L]
+        return out
+
+    def test_long_matches_host(self, world):
+        from locityper_tpu.ops.recruit import DeviceIndex, run_long
+        rng, genome, locus, cset, kc, _ = world
+        params = RecruitParams(match_frac=0.5, match_length=2000)
+        idx = TargetIndex(params)
+        idx.add_locus(cset, kc)
+        idx.finalize()
+        dev = DeviceIndex.from_index(idx)
+        reads = sim.simulate_single_reads(
+            rng, [locus.haplotypes[i] for i in locus.true_genotype],
+            depth=2, read_len_mean=2800, read_len_sd=400)
+        mix = reads.reads1[:20]
+        # Background reads and chimeras (locus prefix + background tail —
+        # exercises the stretch rule specifically).
+        for _ in range(10):
+            s = int(rng.integers(0, 10000))
+            mix.append(genome[s:s + 3000])
+        for _ in range(10):
+            s = int(rng.integers(0, 10000))
+            pre = locus.haplotypes[0][200:1400]
+            mix.append(np.concatenate([pre, genome[s:s + 4000]]))
+        L = max(r.size for r in mix)
+        L = -(-L // 256) * 256
+        got = run_long(dev, self._batch(mix, L), params.stretch_minims,
+                       params.stretch_score)
+        n_hit = 0
+        for i, r in enumerate(mix):
+            host = recruit_long_read(idx, r)
+            device = sorted(np.nonzero(got[i])[0].tolist())
+            assert device == host, f"read {i}: device={device} host={host}"
+            n_hit += bool(host)
+        assert 0 < n_hit < len(mix)
