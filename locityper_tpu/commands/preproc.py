@@ -35,7 +35,14 @@ def add_args(p):
     p.add_argument("--interleaved", action="store_true")
     p.add_argument("-k", "--kmer", type=int, default=25)
     p.add_argument("--max-reads", type=int, default=200_000,
-                   help="Cap on reads used for estimation")
+                   help="Cap on recruited reads used for estimation (the "
+                        "whole input is always scanned; depth is corrected "
+                        "for the subsampling)")
+    p.add_argument("--skip-recruitment", action="store_true",
+                   help="Use the first --max-reads input reads directly "
+                        "instead of recruiting to the background region "
+                        "(preproc.rs skip_recruitment; only correct when "
+                        "the input is already region-restricted)")
     p.add_argument("--like", default=None, metavar="DIR",
                    help="Reuse another sample's distributions, rescaling "
                         "read depth by the read-count or file-size ratio "
@@ -162,6 +169,77 @@ def describe(args) -> int:
     return 0
 
 
+def _input_is_paired(args) -> bool:
+    if len(args.input) == 1 and str(args.input[0]).endswith(".bam"):
+        from ..seq import bam as bamio
+        return bamio.is_paired_bam(args.input[0])
+    return len(args.input) == 2 or bool(args.interleaved)
+
+
+def _load_head(args):
+    """--skip-recruitment path: first --max-reads reads of the input."""
+    reads1, reads2 = [], []
+    from .genotype import _read_iter
+    for _name, c1, c2 in _read_iter(args.input, args.interleaved):
+        reads1.append(c1)
+        if c2 is not None:
+            reads2.append(c2)
+        if len(reads1) >= args.max_reads:
+            break
+    return reads1, reads2
+
+
+# Background region padding for recruitment/mapping (preproc.rs:1377).
+BG_PADDING = 50_000
+
+
+def _recruit_bg_reads(args, genome, chrom, start, end, counter, tech):
+    """Streams the ENTIRE input, recruiting reads to the (padded)
+    background region with the device recruitment kernel — the fix for
+    round-1's first-200k-reads depth bias (preproc.rs:659-714 recruit-first
+    + :1355-1397 BgRegion).  Returns (reads1, reads2, padded_region_seq,
+    subsampling_rate) where rate < 1 when --max-reads capped the recruited
+    set (depth estimation corrects for it, bg/depth.rs:268)."""
+    from types import SimpleNamespace
+
+    from ..seq.contigs import ContigSet
+    from ..seq.counts import KmerCounts
+    from ..seq.recruit import RecruitParams
+    from .genotype import _read_iter, recruit_reads
+
+    seq = genome[chrom]
+    pad_lo = max(start - BG_PADDING, 0)
+    pad_hi = min(end + BG_PADDING, seq.size)
+    padded = seq[pad_lo:pad_hi]
+    padded_counts = KmerCounts(counter.k, [counter.seq_counts(padded)])
+    paired = _input_is_paired(args)
+    params = RecruitParams(match_frac=tech.default_match_frac(paired))
+    bg_target = SimpleNamespace(
+        contig_set=ContigSet("bg", ["bg"], [padded]),
+        kmer_counts=padded_counts)
+    out, speed = recruit_reads({"bg": bg_target},
+                               _read_iter(args.input, args.interleaved),
+                               params, seed=0)
+    pairs, _names = out["bg"]
+    logger.info("Recruited %d read%s to the background region (%.1fk reads/s)",
+                len(pairs), " pairs" if paired else "s", speed / 1e3)
+    if not pairs:
+        raise ValueError("No reads recruited to the background region — "
+                         "wrong reference or incompatible input?")
+    rate = 1.0
+    if len(pairs) > args.max_reads:
+        rng = np.random.default_rng(0)
+        sel = np.sort(rng.choice(len(pairs), args.max_reads, replace=False))
+        rate = args.max_reads / len(pairs)
+        pairs = [pairs[i] for i in sel]
+        logger.info("Subsampled to %d reads for estimation (rate %.4f, "
+                    "depth corrected)", len(pairs), rate)
+    reads1 = [p[0] for p in pairs]
+    reads2 = [p[1] for p in pairs] if (paired and pairs[0][1] is not None) \
+        else []
+    return reads1, reads2, padded, rate
+
+
 def run(args):
     if args.describe:
         return describe(args)
@@ -184,42 +262,18 @@ def run(args):
         counter.add_seq(codes)
     counter.finalize()
 
-    reads1, reads2 = [], []
-    if len(args.input) == 1 and args.input[0].endswith(".bam"):
-        from ..seq import bam as bamio
-        if bamio.is_paired_bam(args.input[0]):
-            for r1, r2 in bamio.read_bam_pairs(args.input[0]):
-                reads1.append(r1.seq)
-                reads2.append(r2.seq)
-                if len(reads1) >= args.max_reads:
-                    break
-        else:
-            for r in bamio.read_bam(args.input[0]):
-                reads1.append(r.seq)
-                if len(reads1) >= args.max_reads:
-                    break
-    elif len(args.input) == 2:
-        for r1, r2 in fastx.read_pairs(args.input[0], args.input[1]):
-            reads1.append(r1.seq)
-            reads2.append(r2.seq)
-            if len(reads1) >= args.max_reads:
-                break
-    elif args.interleaved:
-        for r1, r2 in fastx.read_pairs(args.input[0], interleaved=True):
-            reads1.append(r1.seq)
-            reads2.append(r2.seq)
-            if len(reads1) >= args.max_reads:
-                break
+    rate = 1.0
+    if args.skip_recruitment:
+        reads1, reads2 = _load_head(args)
+        logger.info("Loaded %d reads%s (recruitment skipped)", len(reads1),
+                    " (paired)" if reads2 else "")
     else:
-        for r in fastx.read_fastx_auto(args.input[0]):
-            reads1.append(r.seq)
-            if len(reads1) >= args.max_reads:
-                break
-    logger.info("Loaded %d reads%s", len(reads1),
-                " (paired)" if reads2 else "")
+        reads1, reads2, region, rate = _recruit_bg_reads(
+            args, genome, chrom, start, end, counter, tech)
 
     bg = estimate_bg_from_sim(reads1, reads2, region, counter, tech,
-                              debug_dir=bg_dir if args.debug else None)
+                              debug_dir=bg_dir if args.debug else None,
+                              subsampling_rate=rate)
     total_reads, total_size = _count_input(args.input)
     bg.seq_info.total_reads = total_reads // (2 if reads2 else 1)
     bg.seq_info.file_size = total_size

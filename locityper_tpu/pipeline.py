@@ -181,7 +181,7 @@ def _write_read_pairs_csv(out_dir, contig_set, all_alns) -> None:
 def estimate_bg_from_sim(reads1, reads2, region_seq, region_counter,
                          technology, window_size=None,
                          depth_params=None, seed=0,
-                         debug_dir=None) -> BgDistr:
+                         debug_dir=None, subsampling_rate: float = 1.0) -> BgDistr:
     """Estimates all background distributions by aligning reads to a single
     background region (counterpart of preproc estimate_bg_distrs,
     command/preproc.rs:1076-1165)."""
@@ -288,5 +288,6 @@ def estimate_bg_from_sim(reads1, reads2, region_seq, region_counter,
                         f"{int(win.keep[i])}\n")
     depth = ReadDepth.estimate(depth_counts[keep], win.gc[keep], wsize, neighb,
                                depth_params,
+                               subsampling_rate=subsampling_rate,
                                has_gc_bias=technology.has_gc_bias)
     return BgDistr(seq_info, insert_distr, err_prof, depth)
