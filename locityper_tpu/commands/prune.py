@@ -26,15 +26,64 @@ logger = get_logger("prune")
 def add_args(p):
     p.add_argument("-d", "--db", required=True)
     p.add_argument("-l", "--loci", nargs="*", default=None)
-    p.add_argument("-t", "--threshold", type=float, default=None,
-                   help="Divergence cut threshold")
+    p.add_argument("-a", "--alignments", default="haplotypes.paf.gz",
+                   help="PAF with pairwise alignments: a filename inside "
+                        "each locus dir, or a path template with {} for the "
+                        "locus name (prune.rs:72-78)")
+    p.add_argument("-f", "--field", default="dv",
+                   help="PAF tag carrying the divergence (prune.rs default "
+                        "dv)")
+    p.add_argument("-t", "--threshold", type=float, default=0.0002,
+                   help="Divergence cut threshold (prune.rs default 0.0002)")
     p.add_argument("-n", "--n-clusters", type=int, default=None,
-                   help="Target number of clusters")
+                   help="Dynamic threshold targeting ~this many clusters")
     p.add_argument("--power", type=float, default=2.0,
                    help="Power mean exponent for representative selection")
     p.add_argument("--newick", action="store_true",
                    help="Write the dendrogram as Newick")
     return p
+
+
+def load_paf_divergences(path, names, field: str, repl_missing: float):
+    """Symmetric divergence matrix from a PAF produced by `align`
+    (prune.rs load_divergences:176-247): reads `field:f:` tags, missing
+    pairs replaced with `repl_missing`."""
+    from ..utils.io import smart_open
+    name2id = {n: i for i, n in enumerate(names)}
+    n = len(names)
+    div = np.full((n, n), np.nan)
+    np.fill_diagonal(div, 0.0)
+    prefix = f"{field}:"
+    n_rows = 0
+    with smart_open(path) as f:
+        for line in f:
+            if isinstance(line, bytes):
+                line = line.decode()
+            split = line.rstrip("\n").split("\t")
+            if len(split) < 12:
+                continue
+            i = name2id.get(split[0])
+            j = name2id.get(split[5])
+            if i is None or j is None or i == j:
+                continue
+            val = None
+            for tag in split[12:]:
+                if tag.startswith(prefix):
+                    val = float(tag.split(":", 2)[2])
+                    break
+            if val is None or val < 0:
+                continue
+            n_rows += 1
+            div[i, j] = div[j, i] = val
+    missing = np.isnan(div)
+    if missing.sum() == n * n - n:
+        raise ValueError(f"{path}: divergence missing for all pairs")
+    if missing.any():
+        logger.warning("Divergence missing for %.1f%% of pairs; replacing "
+                       "with %.5g", 100.0 * missing.sum() / max(n * n - n, 1),
+                       repl_missing)
+        div[missing] = repl_missing
+    return div
 
 
 def cluster_haplotypes(div: np.ndarray, threshold=None, n_clusters=None):
@@ -44,22 +93,26 @@ def cluster_haplotypes(div: np.ndarray, threshold=None, n_clusters=None):
         return np.zeros(n, int), None
     Z = linkage(squareform(div, checks=False), method="complete")
     if n_clusters is not None:
-        labels = fcluster(Z, t=n_clusters, criterion="maxclust")
-    else:
-        t = threshold if threshold is not None else select_cut_threshold(Z)
+        t = select_cut_threshold(Z, n, n_clusters)
         labels = fcluster(Z, t=t, criterion="distance")
+    else:
+        labels = fcluster(Z, t=threshold, criterion="distance")
     return labels - 1, Z
 
 
-def select_cut_threshold(Z) -> float:
-    """Automatic threshold: largest merge-height gap (counterpart of
-    prune.rs:344-364's heuristic)."""
-    heights = Z[:, 2]
-    if heights.size < 2:
-        return float(heights[-1]) if heights.size else 0.0
-    gaps = np.diff(heights)
-    i = int(np.argmax(gaps))
-    return float((heights[i] + heights[i + 1]) / 2)
+def select_cut_threshold(Z, n_haps: int, n_clusters: int) -> float:
+    """Dynamic threshold targeting ~n_clusters clusters: the dissimilarity
+    of merge step n_haps - n_clusters - 1 with steps sorted ascending
+    (prune.rs select_cut_threshold:344-364)."""
+    i = n_haps - n_clusters - 1
+    if i < 0:
+        logger.warning("There are %d haplotypes, <= the requested %d "
+                       "clusters", n_haps, n_clusters)
+        return 0.0
+    heights = np.sort(Z[:, 2])
+    t = float(heights[i])
+    logger.info("Use cut threshold of %.6f", t)
+    return t
 
 
 def representative(div: np.ndarray, members: np.ndarray, power: float) -> int:
@@ -89,10 +142,23 @@ def to_newick(Z, names) -> str:
     return rec(tree) + ";"
 
 
-def prune_locus(ldir: Path, threshold, n_clusters, power, newick):
+def prune_locus(ldir: Path, threshold, n_clusters, power, newick,
+                alignments="haplotypes.paf.gz", field="dv"):
     named = [(r.name, r.seq) for r in fastx.read_fastx_auto(ldir / paths.HAPLOTYPES)]
     names = [n for n, _ in named]
-    div = np.load(ldir / paths.DISTANCES)["div"]
+    # Prefer PAF CIGAR divergences (prune.rs:534-536); fall back to the
+    # minimizer-Jaccard matrix from `add` when no alignment file exists.
+    if "{}" in str(alignments):
+        paf = Path(str(alignments).replace("{}", ldir.name))
+    else:
+        paf = ldir / alignments
+    if paf.exists():
+        repl = np.inf if n_clusters is not None else 10.0 * threshold
+        div = load_paf_divergences(paf, names, field, repl)
+    else:
+        logger.info("[%s] no %s; falling back to minimizer divergences",
+                    ldir.name, paf.name)
+        div = np.load(ldir / paths.DISTANCES)["div"]
     labels, Z = cluster_haplotypes(div, threshold, n_clusters)
     keep = sorted({representative(div, np.nonzero(labels == c)[0], power)
                    for c in np.unique(labels)})
@@ -126,5 +192,6 @@ def run(args):
         d.name for d in (db / paths.LOCI_DIR).iterdir() if d.is_dir())
     for name in loci:
         prune_locus(paths.locus_dir(db, name), args.threshold,
-                    args.n_clusters, args.power, args.newick)
+                    args.n_clusters, args.power, args.newick,
+                    args.alignments, args.field)
     return 0

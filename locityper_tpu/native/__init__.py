@@ -88,6 +88,21 @@ def get_lib():
         ctypes.c_int64, i32p, i32p, ctypes.c_int64, i32p,
         ctypes.POINTER(ctypes.c_float)]
     lib.banded_align_cigar.restype = ctypes.c_int64
+    lib.kmer_fp_sorted.argtypes = [i8p, ctypes.c_int64, ctypes.c_int32,
+                                   u32p, u64p, u64p]
+    lib.kmer_fp_sorted.restype = ctypes.c_int64
+    lib.kmer_match_join.argtypes = [
+        i8p, u32p, u64p, u64p, ctypes.c_int64,
+        i8p, u32p, u64p, u64p, ctypes.c_int64,
+        ctypes.c_int32, u32p, u32p, ctypes.c_int64]
+    lib.kmer_match_join.restype = ctypes.c_int64
+    lib.chain_align.argtypes = [
+        i8p, ctypes.c_int64, i8p, ctypes.c_int64,
+        u32p, u32p, ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, i32p, i32p, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64)]
+    lib.chain_align.restype = ctypes.c_int64
     _lib = lib
     return _lib
 
@@ -213,6 +228,59 @@ def banded_align_cigar(query: np.ndarray, twin: np.ndarray, band: int,
     if n < 0:
         return None
     return ops[:n], lens[:n], info, float(score.value)
+
+
+def kmer_fp_sorted(codes: np.ndarray, k: int):
+    """Sorted 128-bit k-mer fingerprints (exact-match stand-in for the
+    reference's U256 backbone k-mers).  Returns (pos, lo, hi) sorted by
+    fingerprint."""
+    lib = get_lib()
+    n = codes.size
+    m = max(n - k + 1, 1)
+    pos = np.empty(m, np.uint32)
+    lo = np.empty(m, np.uint64)
+    hi = np.empty(m, np.uint64)
+    cnt = lib.kmer_fp_sorted(np.ascontiguousarray(codes), n, k, pos, lo, hi)
+    return pos[:cnt], lo[:cnt], hi[:cnt]
+
+
+def kmer_match_join(codes1, fp1, codes2, fp2, k: int, cap: int = 1 << 22):
+    """Exact k-mer matches between two sequences given their sorted
+    fingerprints.  Returns (pos1, pos2) sorted lexicographically."""
+    lib = get_lib()
+    pos1, lo1, hi1 = fp1
+    pos2, lo2, hi2 = fp2
+    while True:
+        o1 = np.empty(cap, np.uint32)
+        o2 = np.empty(cap, np.uint32)
+        n = lib.kmer_match_join(
+            np.ascontiguousarray(codes1), pos1, lo1, hi1, pos1.size,
+            np.ascontiguousarray(codes2), pos2, lo2, hi2, pos2.size,
+            k, o1, o2, cap)
+        if n >= 0:
+            return o1[:n], o2[:n]
+        cap *= 4
+
+
+def chain_align(codes1, codes2, anchors1, anchors2, k: int, max_gap: int,
+                mismatch: int, gap_open: int, gap_extend: int):
+    """LCSk++ chain + smart gap fill over exact k-mer anchors.  Returns
+    (ops, lens, score) where ops use the banded_align_cigar codes
+    (0 '=', 1 'X', 2 'I', 3 'D')."""
+    lib = get_lib()
+    n1, n2 = codes1.size, codes2.size
+    max_ops = 2 * (n1 + n2) + 16
+    ops = np.empty(max_ops, np.int32)
+    lens = np.empty(max_ops, np.int32)
+    score = ctypes.c_int64(0)
+    n = lib.chain_align(
+        np.ascontiguousarray(codes1), n1, np.ascontiguousarray(codes2), n2,
+        np.ascontiguousarray(anchors1, np.uint32),
+        np.ascontiguousarray(anchors2, np.uint32), anchors1.size,
+        k, max_gap, mismatch, gap_open, gap_extend,
+        ops, lens, max_ops, ctypes.byref(score))
+    assert n >= 0, "chain_align capacity exceeded"
+    return ops[:n], lens[:n], int(score.value)
 
 
 def parse_fastq_buffer(buf: bytes, max_len: int, max_reads: int):

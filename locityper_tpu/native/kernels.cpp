@@ -581,4 +581,431 @@ int64_t fastq_complete_prefix(const uint8_t* buf, int64_t n) {
     return last_complete;
 }
 
+}  // extern "C" (pause: chained hap-hap alignment internals below)
+
+// ===========================================================================
+// Chained haplotype-haplotype alignment (counterpart of reference
+// seq/dist.rs:115-271 + seq/wfa.rs smart_align/align_simple).  The reference
+// matches exact non-canonical U256 k-mers (k in {25,51,101}), chains them
+// with LCSk++ (bio::alignment::sparse::lcskpp), and fills inter-anchor gaps
+// with WFA gap-affine alignment.  Here: 128-bit rolling fingerprints with
+// exact memcmp verification stand in for U256 k-mers, the LCSk++ event-sweep
+// DP with a Fenwick max-tree reproduces rust-bio's algorithm, and gap fill
+// uses a Gotoh affine-gap global DP (same scoring model as WFA gap-affine:
+// match 0, mismatch -x, gap -(o+e*len), no I<->D transitions).
+// ===========================================================================
+
+namespace hapdist {
+
+struct FpEntry {
+    uint64_t hi, lo;
+    uint32_t pos;
+};
+
+// Fenwick tree holding prefix maxima of (value, idx) pairs.
+struct MaxBitTree {
+    std::vector<uint64_t> t;  // packed (value << 32) | idx
+    explicit MaxBitTree(size_t n) : t(n + 2, 0) {}
+    void set(size_t i, uint64_t packed) {
+        for (i += 1; i < t.size(); i += i & (~i + 1))
+            if (packed > t[i]) t[i] = packed;
+    }
+    uint64_t get(size_t i) const {
+        uint64_t best = 0;
+        for (i += 1; i > 0; i -= i & (~i + 1))
+            if (t[i] > best) best = t[i];
+        return best;
+    }
+};
+
+struct Event {
+    uint32_t x, y, code;
+    bool operator<(const Event& o) const {
+        if (x != o.x) return x < o.x;
+        if (y != o.y) return y < o.y;
+        return code < o.code;
+    }
+};
+
+// LCSk++ over sorted (pos1, pos2) matches; fills `path` with indices of the
+// chained matches in increasing order.  Mirrors rust-bio sparse::lcskpp
+// (dist.rs:204): start events query the prefix-max tree, end events insert
+// and check the k+1-extension continuation via binary search for
+// (x-1, y-1).
+static void lcskpp(const uint32_t* ap1, const uint32_t* ap2, int64_t n,
+                   uint32_t k, std::vector<int64_t>& path) {
+    path.clear();
+    if (n == 0) return;
+    std::vector<Event> events;
+    events.reserve(2 * (size_t)n);
+    uint32_t max_n = 0;
+    for (int64_t i = 0; i < n; i++) {
+        events.push_back({ap1[i], ap2[i], (uint32_t)(i + n)});
+        events.push_back({ap1[i] + k, ap2[i] + k, (uint32_t)i});
+        if (ap1[i] + k > max_n) max_n = ap1[i] + k;
+        if (ap2[i] + k > max_n) max_n = ap2[i] + k;
+    }
+    std::sort(events.begin(), events.end());
+
+    MaxBitTree tree((size_t)max_n + 1);
+    std::vector<uint32_t> dp_val((size_t)n, 0);
+    std::vector<int64_t> dp_prev((size_t)n, -1);
+    uint32_t best_val = 0;
+    int64_t best_idx = 0;
+
+    for (const Event& ev : events) {
+        const int64_t p = (int64_t)(ev.code % (uint32_t)n);
+        const size_t j = (size_t)ev.y + 1;
+        if (ev.code >= (uint32_t)n) {
+            // Start of a match.
+            dp_val[p] = k;
+            dp_prev[p] = -1;
+            const uint64_t packed = tree.get(j);
+            const uint32_t value = (uint32_t)(packed >> 32);
+            if (value > 0) {
+                dp_val[p] = k + value;
+                dp_prev[p] = (int64_t)(uint32_t)packed;
+            }
+            if (dp_val[p] > best_val) { best_val = dp_val[p]; best_idx = p; }
+        } else {
+            // End of a match: check continuation from (x-1, y-1).
+            if (ev.x > k && ev.y > k) {
+                const uint32_t cx = ev.x - k - 1, cy = ev.y - k - 1;
+                int64_t lo = 0, hi = n - 1, found = -1;
+                while (lo <= hi) {
+                    const int64_t mid = (lo + hi) / 2;
+                    if (ap1[mid] < cx || (ap1[mid] == cx && ap2[mid] < cy))
+                        lo = mid + 1;
+                    else if (ap1[mid] == cx && ap2[mid] == cy) {
+                        found = mid;
+                        break;
+                    } else
+                        hi = mid - 1;
+                }
+                if (found >= 0 && dp_val[found] + 1 > dp_val[p]) {
+                    dp_val[p] = dp_val[found] + 1;
+                    dp_prev[p] = found;
+                    if (dp_val[p] > best_val) {
+                        best_val = dp_val[p];
+                        best_idx = p;
+                    }
+                }
+            }
+            tree.set(j, ((uint64_t)dp_val[p] << 32) | (uint64_t)(uint32_t)p);
+        }
+    }
+    for (int64_t q = best_idx; q >= 0; q = dp_prev[q]) path.push_back(q);
+    std::reverse(path.begin(), path.end());
+}
+
+// Extended-CIGAR builder with run merging.  Op codes match
+// banded_align_cigar: 0 '=', 1 'X', 2 'I' (consumes query/seq2),
+// 3 'D' (consumes ref/seq1).
+struct CigarBuf {
+    std::vector<int32_t> ops, lens;
+    void push(int32_t op, int64_t len) {
+        if (len <= 0) return;
+        if (!ops.empty() && ops.back() == op)
+            lens.back() += (int32_t)len;
+        else {
+            ops.push_back(op);
+            lens.push_back((int32_t)len);
+        }
+    }
+};
+
+// align_simple (wfa.rs:50-85): one leading INS/DEL equalizing lengths,
+// then a straight =/X run.  Returns the score.
+static int64_t align_simple(const int8_t* s1, int64_t a, const int8_t* s2,
+                            int64_t b, int32_t mm, int32_t go, int32_t ge,
+                            CigarBuf& cig) {
+    int64_t score = 0;
+    int64_t i = 0, j = 0;
+    const int64_t diff = a - b;
+    if (diff < 0) {
+        cig.push(2, -diff);
+        score = -(int64_t)go + diff * ge;
+        j = -diff;
+    } else if (diff > 0) {
+        cig.push(3, diff);
+        score = -(int64_t)go - diff * ge;
+        i = diff;
+    }
+    int64_t ndiff = 0;
+    for (; i < a; i++, j++) {
+        const bool match = s1[i] == s2[j] && s1[i] < 4;
+        cig.push(match ? 0 : 1, 1);
+        ndiff += !match;
+    }
+    return score - ndiff * (int64_t)mm;
+}
+
+// Gotoh affine-gap global alignment with traceback (the WFA gap-affine
+// role in smart_align's full-alignment branch, wfa.rs:289).  Maximizes
+// match 0 / mismatch -mm / gap -(go + ge*len); no I<->D transitions.
+static int64_t gotoh_global(const int8_t* s1, int64_t a, const int8_t* s2,
+                            int64_t b, int32_t mm, int32_t go, int32_t ge,
+                            CigarBuf& cig) {
+    const int32_t NEG = INT32_MIN / 4;
+    const int64_t W = b + 1;
+    // One rolling row of scores per state + full traceback (2 bits/state).
+    std::vector<int32_t> M(W), I(W), D(W), pM(W), pI(W), pD(W);
+    // tb values: for M: 0=diag-from-M 1=diag-from-I 2=diag-from-D;
+    // for I: 0=open(from M) 1=extend; for D likewise.
+    std::vector<uint8_t> tb((size_t)(a + 1) * W, 0);
+    pM[0] = 0;
+    pI[0] = NEG;
+    pD[0] = NEG;
+    for (int64_t j = 1; j <= b; j++) {
+        pM[j] = NEG;
+        pD[j] = NEG;
+        pI[j] = (int32_t)(-go - j * ge);
+        tb[(size_t)j] = (j == 1 ? 0 : 1) << 2;
+    }
+    for (int64_t i = 1; i <= a; i++) {
+        uint8_t* trow = tb.data() + (size_t)i * W;
+        M[0] = NEG;
+        I[0] = NEG;
+        D[0] = (int32_t)(-go - i * ge);
+        trow[0] = (i == 1 ? 0 : 1) << 4;
+        for (int64_t j = 1; j <= b; j++) {
+            const int32_t sub = (s1[i - 1] == s2[j - 1] && s1[i - 1] < 4)
+                                    ? 0 : -mm;
+            // M: diagonal from best of M/I/D.
+            int32_t bestd = pM[j - 1];
+            uint8_t tm = 0;
+            if (pI[j - 1] > bestd) { bestd = pI[j - 1]; tm = 1; }
+            if (pD[j - 1] > bestd) { bestd = pD[j - 1]; tm = 2; }
+            M[j] = bestd + sub;
+            // I: consumes query (seq2), horizontal.
+            int32_t iopen = M[j - 1] - go - ge;
+            int32_t iext = I[j - 1] - ge;
+            uint8_t ti = iopen >= iext ? 0 : 1;
+            I[j] = iopen >= iext ? iopen : iext;
+            // D: consumes ref (seq1), vertical.
+            int32_t dopen = pM[j] - go - ge;
+            int32_t dext = pD[j] - ge;
+            uint8_t td = dopen >= dext ? 0 : 1;
+            D[j] = dopen >= dext ? dopen : dext;
+            trow[j] = (uint8_t)(tm | (ti << 2) | (td << 4));
+        }
+        std::swap(M, pM);
+        std::swap(I, pI);
+        std::swap(D, pD);
+    }
+    // Traceback from the best end state.
+    int state = 0;  // 0=M 1=I 2=D
+    int32_t best = pM[b];
+    if (pI[b] > best) { best = pI[b]; state = 1; }
+    if (pD[b] > best) { best = pD[b]; state = 2; }
+    std::vector<int32_t> rops, rlens;
+    auto rpush = [&](int32_t op) {
+        if (!rops.empty() && rops.back() == op)
+            rlens.back()++;
+        else {
+            rops.push_back(op);
+            rlens.push_back(1);
+        }
+    };
+    int64_t i = a, j = b;
+    while (i > 0 || j > 0) {
+        const uint8_t t = tb[(size_t)i * W + j];
+        if (state == 0) {
+            rpush((s1[i - 1] == s2[j - 1] && s1[i - 1] < 4) ? 0 : 1);
+            state = t & 3;
+            i--;
+            j--;
+        } else if (state == 1) {
+            rpush(2);
+            state = ((t >> 2) & 3) ? 1 : 0;
+            j--;
+        } else {
+            rpush(3);
+            state = ((t >> 4) & 3) ? 2 : 0;
+            i--;
+        }
+    }
+    for (int64_t q = (int64_t)rops.size() - 1; q >= 0; q--)
+        cig.push(rops[q], rlens[q]);
+    return best;
+}
+
+// smart_align (wfa.rs:259-304): dispatch between pure gap / oversized gap
+// (align_simple) / small equal-length mismatch run / full DP.
+static int64_t smart_fill(const int8_t* s1, const int8_t* s2, int64_t i1,
+                          int64_t i2, int64_t j1, int64_t j2, int64_t max_gap,
+                          int32_t mm, int32_t go, int32_t ge, CigarBuf& cig) {
+    const int64_t jump1 = i2 - i1, jump2 = j2 - j1;
+    const int64_t safe_mm = (2 * (int64_t)go + 2 * ge) / mm;
+    if (jump1 > 0 && jump2 > 0) {
+        if (jump1 > max_gap || jump2 > max_gap)
+            return align_simple(s1 + i1, jump1, s2 + j1, jump2, mm, go, ge,
+                                cig);
+        if (jump1 == jump2 && jump1 <= safe_mm) {
+            int64_t ndiff = 0;
+            for (int64_t t = 0; t < jump1; t++) {
+                const bool match =
+                    s1[i1 + t] == s2[j1 + t] && s1[i1 + t] < 4;
+                cig.push(match ? 0 : 1, 1);
+                ndiff += !match;
+            }
+            return -ndiff * (int64_t)mm;
+        }
+        return gotoh_global(s1 + i1, jump1, s2 + j1, jump2, mm, go, ge, cig);
+    }
+    if (jump1 > 0) {
+        cig.push(3, jump1);
+        return -(int64_t)go - jump1 * ge;
+    }
+    if (jump2 > 0) {
+        cig.push(2, jump2);
+        return -(int64_t)go - jump2 * ge;
+    }
+    return 0;
+}
+
+}  // namespace hapdist
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// 128-bit k-mer fingerprints, sorted by (hi, lo, pos).  Non-canonical exact
+// k-mer stand-in (dist.rs precompute_kmers): two independent rolling
+// polynomial hashes over 2^64; windows containing N are skipped.  Arbitrary
+// k (25/51/101 in practice).  out_pos/out_lo/out_hi must hold n-k+1 entries;
+// returns the number of valid windows.
+// ---------------------------------------------------------------------------
+int64_t kmer_fp_sorted(const int8_t* codes, int64_t n, int32_t k,
+                       uint32_t* out_pos, uint64_t* out_lo, uint64_t* out_hi) {
+    const int64_t m = n - k + 1;
+    if (m <= 0) return 0;
+    const uint64_t B1 = 0x9E3779B97F4A7C15ULL;  // odd constants
+    const uint64_t B2 = 0xC2B2AE3D27D4EB4FULL;
+    // B^(k-1) for removal of the outgoing base.
+    uint64_t p1 = 1, p2 = 1;
+    for (int32_t t = 0; t < k - 1; t++) { p1 *= B1; p2 *= B2; }
+    uint64_t h1 = 0, h2 = 0;
+    int64_t since_invalid = 0;
+    std::vector<hapdist::FpEntry> entries;
+    entries.reserve((size_t)m);
+    for (int64_t i = 0; i < n; i++) {
+        const int8_t c = codes[i];
+        const uint64_t v = (uint64_t)(c & 3) + 1;
+        if (i >= k) {
+            const uint64_t old = (uint64_t)(codes[i - k] & 3) + 1;
+            h1 -= old * p1;
+            h2 -= old * p2;
+        }
+        h1 = h1 * B1 + v;
+        h2 = h2 * B2 + v;
+        since_invalid = (c < 4) ? since_invalid + 1 : 0;
+        const int64_t pos = i - k + 1;
+        if (pos >= 0 && since_invalid >= k)
+            entries.push_back({h1, h2, (uint32_t)pos});
+    }
+    std::sort(entries.begin(), entries.end(),
+              [](const hapdist::FpEntry& a, const hapdist::FpEntry& b) {
+                  if (a.hi != b.hi) return a.hi < b.hi;
+                  if (a.lo != b.lo) return a.lo < b.lo;
+                  return a.pos < b.pos;
+              });
+    for (size_t t = 0; t < entries.size(); t++) {
+        out_hi[t] = entries[t].hi;
+        out_lo[t] = entries[t].lo;
+        out_pos[t] = entries[t].pos;
+    }
+    return (int64_t)entries.size();
+}
+
+// ---------------------------------------------------------------------------
+// Merge-join of two sorted fingerprint lists with exact window verification
+// (dist.rs get_kmer_matches).  Output (p1, p2) pairs sorted by (p1, p2).
+// Returns the match count, or -1 if cap would be exceeded.
+// ---------------------------------------------------------------------------
+int64_t kmer_match_join(const int8_t* codes1, const uint32_t* pos1,
+                        const uint64_t* lo1, const uint64_t* hi1, int64_t c1,
+                        const int8_t* codes2, const uint32_t* pos2,
+                        const uint64_t* lo2, const uint64_t* hi2, int64_t c2,
+                        int32_t k, uint32_t* out_p1, uint32_t* out_p2,
+                        int64_t cap) {
+    std::vector<std::pair<uint32_t, uint32_t>> matches;
+    int64_t i = 0, j = 0;
+    while (i < c1 && j < c2) {
+        if (hi1[i] < hi2[j] || (hi1[i] == hi2[j] && lo1[i] < lo2[j]))
+            i++;
+        else if (hi1[i] > hi2[j] || lo1[i] > lo2[j])
+            j++;
+        else {
+            int64_t ie = i, je = j;
+            while (ie < c1 && hi1[ie] == hi1[i] && lo1[ie] == lo1[i]) ie++;
+            while (je < c2 && hi2[je] == hi2[j] && lo2[je] == lo2[j]) je++;
+            for (int64_t a = i; a < ie; a++)
+                for (int64_t b = j; b < je; b++)
+                    if (memcmp(codes1 + pos1[a], codes2 + pos2[b],
+                               (size_t)k) == 0)
+                        matches.push_back({pos1[a], pos2[b]});
+            i = ie;
+            j = je;
+        }
+    }
+    std::sort(matches.begin(), matches.end());
+    if ((int64_t)matches.size() > cap) return -1;
+    for (size_t t = 0; t < matches.size(); t++) {
+        out_p1[t] = matches[t].first;
+        out_p2[t] = matches[t].second;
+    }
+    return (int64_t)matches.size();
+}
+
+// ---------------------------------------------------------------------------
+// Chained global alignment of seq1 (ref/target) vs seq2 (query), the
+// counterpart of dist.rs align():184-243: LCSk++ over the exact k-mer
+// matches, then walk the chain pushing '=' runs for anchors and smart-fill
+// for inter-anchor gaps.  Covers both sequences end-to-end.  Returns n_ops
+// (run-length CIGAR in out_ops/out_lens) or -1 if max_ops is too small;
+// *out_score receives the WFA-convention score (match 0, mismatch -mm,
+// gap -(go+ge*len)).
+// ---------------------------------------------------------------------------
+int64_t chain_align(const int8_t* seq1, int64_t n1, const int8_t* seq2,
+                    int64_t n2, const uint32_t* ap1, const uint32_t* ap2,
+                    int64_t n_anchors, int32_t k, int32_t max_gap,
+                    int32_t mismatch, int32_t gap_open, int32_t gap_extend,
+                    int32_t* out_ops, int32_t* out_lens, int64_t max_ops,
+                    int64_t* out_score) {
+    std::vector<int64_t> path;
+    hapdist::lcskpp(ap1, ap2, n_anchors, (uint32_t)k, path);
+    hapdist::CigarBuf cig;
+    int64_t score = 0;
+    int64_t i1 = 0, j1 = 0, curr_match = 0;
+    for (const int64_t ix : path) {
+        const int64_t i2 = ap1[ix], j2 = ap2[ix];
+        if (i1 > i2) {
+            // Overlapping continuation anchor: extend the match by one base.
+            curr_match++;
+            i1++;
+            j1++;
+            continue;
+        }
+        if (curr_match > 0) {
+            cig.push(0, curr_match);
+            curr_match = 0;
+        }
+        score += hapdist::smart_fill(seq1, seq2, i1, i2, j1, j2, max_gap,
+                                     mismatch, gap_open, gap_extend, cig);
+        curr_match = k;
+        i1 = i2 + k;
+        j1 = j2 + k;
+    }
+    if (curr_match > 0) cig.push(0, curr_match);
+    score += hapdist::smart_fill(seq1, seq2, i1, n1, j1, n2, max_gap,
+                                 mismatch, gap_open, gap_extend, cig);
+    if ((int64_t)cig.ops.size() > max_ops) return -1;
+    for (size_t t = 0; t < cig.ops.size(); t++) {
+        out_ops[t] = cig.ops[t];
+        out_lens[t] = cig.lens[t];
+    }
+    *out_score = score;
+    return (int64_t)cig.ops.size();
+}
+
 }  // extern "C"
