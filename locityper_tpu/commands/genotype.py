@@ -27,6 +27,46 @@ from ..utils.logging import Progress, get_logger
 
 logger = get_logger("genotype")
 
+#: Per-locus recruited-read checkpoint (reference genotype.rs:662-682 writes
+#: reads.fq.gz after recruitment and deletes it once the locus completes,
+#: :1153-1156 — a crash between recruit and solve resumes without
+#: re-scanning the whole input).
+RECRUITED_FQ = "reads.fq.gz"
+
+
+def _save_recruited(ldir: Path, pairs, names) -> None:
+    """Checkpoints recruited reads as <locus>/reads.fq.gz."""
+    from ..seq.fastx import Read, write_fastq
+    from ..utils.io import smart_create
+    ldir.mkdir(parents=True, exist_ok=True)
+    with smart_create(ldir / RECRUITED_FQ) as f:
+        for (c1, c2), nm in zip(pairs, names):
+            write_fastq(f, Read(nm + "/1", c1))
+            if c2 is not None:
+                write_fastq(f, Read(nm + "/2", c2))
+
+
+def _load_recruited(ldir: Path):
+    """Loads a reads.fq.gz checkpoint back into (pairs, names).
+
+    Inverse of `_save_recruited`: "/1"+"/2" record pairs become mate pairs,
+    lone "/1" records become single reads.
+    """
+    from ..seq.fastx import read_fastq
+    pairs: list = []
+    names: list = []
+    pending = None
+    for r in read_fastq(ldir / RECRUITED_FQ):
+        stem, sep, end = r.name.rpartition("/")
+        if sep and end == "2" and pending == stem:
+            pairs[-1] = (pairs[-1][0], r.seq)
+            pending = None
+            continue
+        pairs.append((r.seq, None))
+        names.append(stem if sep and end in ("1", "2") else r.name)
+        pending = stem if (sep and end == "1") else None
+    return pairs, names
+
 
 def add_args(p):
     p.add_argument("-i", "--input", nargs="+", default=None)
@@ -469,7 +509,7 @@ def _run(args):
     todo = []
     for name in locus_names:
         ldir = out / paths.LOCI_DIR / name
-        if not rerun.prepare_dir(ldir):
+        if not rerun.prepare_dir(ldir, keep=(RECRUITED_FQ,)):
             logger.info("[%s] already genotyped, skipping", name)
             continue
         data = load_locus(db, name)
@@ -489,27 +529,36 @@ def _run(args):
         match_frac=(args.match_frac if args.match_frac is not None else
                     tech.default_match_frac(bg.insert_distr.is_paired_end)),
         match_length=args.match_len, thresh_kmer_count=args.kmer_thresh)
-    if len(args.input) == 2 and tech.are_short_reads:
-        recruited, _ = recruit_reads_fast(
-            loci, args.input[0], args.input[1], rp,
-            subsample=args.subsample, seed=args.seed)
-    else:
-        recruited, _ = recruit_reads(
-            loci, _read_iter(args.input, args.interleaved), rp,
-            subsample=args.subsample, seed=args.seed)
+    # Resume from per-locus checkpoints where a previous (crashed) run
+    # already recruited (genotype.rs:662-682).
+    recruited = {}
+    need = {}
+    for name in todo:
+        ldir = out / paths.LOCI_DIR / name
+        if (ldir / RECRUITED_FQ).exists():
+            recruited[name] = _load_recruited(ldir)
+            logger.info("[%s] reusing %d recruited read(pair)s from "
+                        "checkpoint %s", name, len(recruited[name][0]),
+                        ldir / RECRUITED_FQ)
+        else:
+            need[name] = loci[name]
+    if need:
+        if len(args.input) == 2 and tech.are_short_reads:
+            rec, _ = recruit_reads_fast(
+                need, args.input[0], args.input[1], rp,
+                subsample=args.subsample, seed=args.seed)
+        else:
+            rec, _ = recruit_reads(
+                need, _read_iter(args.input, args.interleaved), rp,
+                subsample=args.subsample, seed=args.seed)
+        recruited.update(rec)
+        for name in need:
+            _save_recruited(out / paths.LOCI_DIR / name, *recruited[name])
 
     if args.stop_after == "recruit":
-        from ..seq.fastx import write_fastq, Read
-        from ..utils.io import smart_create
         for name in todo:
-            pairs, names = recruited[name]
-            ldir = out / paths.LOCI_DIR / name
-            with smart_create(ldir / "reads.fq.gz") as f:
-                for (c1, c2), nm in zip(pairs, names):
-                    write_fastq(f, Read(nm + "/1", c1))
-                    if c2 is not None:
-                        write_fastq(f, Read(nm + "/2", c2))
-            logger.info("[%s] wrote %d recruited read(pair)s", name, len(pairs))
+            logger.info("[%s] wrote %d recruited read(pair)s", name,
+                        len(recruited[name][0]))
         return 0
 
     if args.stop_after == "map":
@@ -592,6 +641,9 @@ def _run(args):
             json.dump(result.to_json(loci[name].contig_set.contigs.names), f,
                       indent=1)
         write_success(ldir)
+        # Locus done — drop its recruited-read checkpoint
+        # (genotype.rs:1153-1156).
+        (ldir / RECRUITED_FQ).unlink(missing_ok=True)
         if result.genotypes:
             logger.info("[%s] GT = %s, quality %.1f", name,
                         result.to_json(loci[name].contig_set.contigs.names)

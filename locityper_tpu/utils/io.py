@@ -102,8 +102,14 @@ class Rerun(enum.Enum):
                 return v
         raise ValueError(f"Unknown rerun mode {s!r}")
 
-    def prepare_dir(self, directory) -> bool:
-        """Prepares `directory`; returns True if (re)computation is needed."""
+    def prepare_dir(self, directory, keep: tuple = ()) -> bool:
+        """Prepares `directory`; returns True if (re)computation is needed.
+
+        `keep`: file names preserved when clearing an *incomplete* directory
+        under part/none reruns — checkpoints a crashed run left behind
+        (reference genotype.rs:662-682 reuses recruited reads.fq.gz).
+        --rerun all always starts from a pristine directory.
+        """
         directory = Path(directory)
         if not directory.exists():
             directory.mkdir(parents=True)
@@ -113,10 +119,17 @@ class Rerun(enum.Enum):
             return False
         if self is Rerun.PART and done:
             return False
-        if self is Rerun.ALL or not done:
+        if self is Rerun.ALL or not keep:
             shutil.rmtree(directory)
             directory.mkdir(parents=True)
             return True
+        for child in directory.iterdir():
+            if child.name in keep:
+                continue
+            if child.is_dir():
+                shutil.rmtree(child)
+            else:
+                child.unlink()
         return True
 
 

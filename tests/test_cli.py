@@ -498,6 +498,48 @@ class TestRecruitPreset:
         assert rc == 1
 
 
+class TestRecruitCheckpoint:
+    """Kill-and-rerun: a crash after recruitment resumes from reads.fq.gz
+    without re-scanning the input (genotype.rs:662-682, 1153-1156)."""
+
+    def test_crash_resume(self, world, db, prep, tmp_path, monkeypatch):
+        from locityper_tpu.commands import genotype as G
+        out = tmp_path / "ckpt"
+        base = ["genotype", "-i", str(world["r1"]), str(world["r2"]),
+                "-d", str(db), "-p", str(prep), "-o", str(out),
+                "-S", "greedy:i=5k,a=1", "anneal:i=4,a=4,n=1000,p=500",
+                "--seed", "5"]
+
+        def boom(*a, **k):
+            raise RuntimeError("simulated crash after recruitment")
+
+        monkeypatch.setattr(G, "genotype_locus", boom)
+        assert cli.main(base) == 1
+        ldir = out / "loci" / "GENE1"
+        ck = ldir / "reads.fq.gz"
+        assert ck.exists() and not (ldir / "success").exists()
+        pairs, names = G._load_recruited(ldir)
+        assert len(pairs) == len(names) > 50
+        assert all(c2 is not None for _, c2 in pairs)
+        monkeypatch.undo()
+
+        # Rerun must NOT recruit again — checkpoint feeds the solver.
+        def no_recruit(*a, **k):
+            raise AssertionError("recruitment ran despite checkpoint")
+
+        monkeypatch.setattr(G, "recruit_reads_fast", no_recruit)
+        monkeypatch.setattr(G, "recruit_reads", no_recruit)
+        assert cli.main(base) == 0
+        assert (ldir / "res.json.gz").exists()
+        assert (ldir / "success").exists()
+        assert not ck.exists()           # deleted once the locus completed
+        with gzip.open(ldir / "res.json.gz", "rt") as f:
+            res = json.load(f)
+        locus = world["locus"]
+        truth = {locus.hap_names[i] for i in locus.true_genotype}
+        assert set(res["genotype"].split(",")) == truth
+
+
 class TestParamsStaleness:
     def test_changed_params_abort(self, world, db, prep, tmp_path):
         out = tmp_path / "stale"
