@@ -397,13 +397,15 @@ def _padded_mate_matrices(mates, L):
 
 
 def _align_candidates(mates, jobs, contig_set, score_vec, band,
-                      batch=2048) -> MateAlnTable:
+                      batch=2048, mesh=None) -> MateAlnTable:
     """Aligns every (mate, candidate) job on device; returns a flat
     MateAlnTable in job order.
 
     mates: list of code arrays; jobs: flat arrays (mate_ix, hap, orient,
     diag) from `candidates_batch_flat`.  Batch assembly and result
-    collection are fully vectorized."""
+    collection are fully vectorized.  With `mesh`, each padded batch is
+    read-sharded over the device mesh (parallel/mesh.py:sharded_align) —
+    the reference's alignment worker pool (locs.rs:1120-1146)."""
     jm, jh, jo, jd = (np.asarray(a, np.int64) for a in jobs)
     if jm.size == 0:
         return MateAlnTable.empty()
@@ -433,7 +435,11 @@ def _align_candidates(mates, jobs, contig_set, score_vec, band,
         lens[:n] = all_lens[jm[sl]]
         wins = np.full((N, W), 4, np.int8)
         wins[:n] = all_wins[sl]
-        res = A.align_batch_auto(reads, lens, wins, score_vec, band=band)
+        if mesh is not None:
+            from ..parallel.mesh import sharded_align
+            res = sharded_align(mesh, reads, lens, wins, score_vec, band=band)
+        else:
+            res = A.align_batch_auto(reads, lens, wins, score_vec, band=band)
         res = {k: np.asarray(v)[:n] for k, v in res.items()}
         edit, _ = A.edit_and_matches(res, lens[:n])
         ws = all_ws[sl]
@@ -643,7 +649,8 @@ class AllAlignments:
 def build_all_alignments(read_pairs, names, contig_set: ContigSet,
                          kmer_counts: KmerCounts, bg: BgDistr,
                          edit_cache: EditDistCache, params: Params,
-                         minimizer_k: int = 15, minimizer_w: int = 10):
+                         minimizer_k: int = 15, minimizer_w: int = 10,
+                         mesh=None):
     """The full locs pipeline, fully vectorized: candidates → device
     alignment → dedup → edit/bounds filters → weights → pairing →
     per-(read,hap) top-K.  `read_pairs`: list of (codes1, codes2|None).
@@ -683,7 +690,8 @@ def build_all_alignments(read_pairs, names, contig_set: ContigSet,
     jobs = hap_index.candidates_batch_flat(mates, minimizer_w, params.band,
                                            params.min_anchor_votes,
                                            max_per_hap=3)
-    tbl = _align_candidates(mates, jobs, contig_set, score_vec, params.band)
+    tbl = _align_candidates(mates, jobs, contig_set, score_vec, params.band,
+                            mesh=mesh)
 
     empty64 = np.empty(0, np.int64)
     empty_result = AllAlignments(

@@ -1,1 +1,2 @@
-from .mesh import make_mesh, sharded_filter_scores, sharded_solve, full_step  # noqa: F401
+from .mesh import (auto_mesh, full_step, make_mesh, sharded_align,  # noqa: F401
+                   sharded_filter_scores, sharded_solve, sharded_stage_solver)

@@ -21,6 +21,15 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+try:                                      # jax >= 0.8: check_vma kwarg
+    from jax import shard_map as _shard_map
+
+    def shard_map(f, **kw):
+        kw["check_vma"] = kw.pop("check_rep", True)
+        return _shard_map(f, **kw)
+except ImportError:                       # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
+
 from ..ops.solver import SolverConfig, solve_genotypes
 
 
@@ -35,13 +44,46 @@ def make_mesh(n_devices: int | None = None, read_axis: int | None = None) -> Mes
     return Mesh(arr, axis_names=("read", "gt"))
 
 
+def auto_mesh() -> Mesh | None:
+    """Production mesh selection: a {read × gt} mesh over all local devices
+    when more than one is attached (and the count is a power of two — TPU
+    slices always are), else None (single-chip path, zero overhead)."""
+    n = jax.device_count()
+    if n > 1 and (n & (n - 1)) == 0:
+        return make_mesh()
+    return None
+
+
+def sharded_stage_solver(mesh: Mesh, run_solver, key, gts: np.ndarray):
+    """Genotype-sharded solver stage: the padded [G, 2] genotype chunk splits
+    over the FULL mesh and every device runs the stage engine (the Pallas
+    chains-in-lanes kernel on TPU) on its local genotypes — the reference's
+    solver worker pool (solve.rs:969-1127) expressed as a shard_map, with
+    mpsc channels replaced by the output sharding.
+
+    `run_solver(key, gts) -> (liks [G, A], assgns [G, A, R])` must be
+    shape-polymorphic in G.  Each shard folds its linear mesh index into the
+    key so chains stay statistically independent across devices.
+    """
+    n_gt_ax = mesh.shape["gt"]
+
+    def local(key_, gts_):
+        ix = jax.lax.axis_index("read") * n_gt_ax + jax.lax.axis_index("gt")
+        return run_solver(jax.random.fold_in(key_, ix), gts_)
+
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(("read", "gt"), None)),
+        out_specs=(P(("read", "gt"), None), P(("read", "gt"), None, None)),
+        check_rep=False)
+    return fn(key, jnp.asarray(gts))
+
+
 def sharded_filter_scores(mesh: Mesh, best_aln: jnp.ndarray,
                           genotypes: jnp.ndarray, priors: jnp.ndarray):
     """Stage-0 filter with reads sharded over the "read" axis:
     score[g] = prior[g] + Σ_r max(best_aln[h1, r], best_aln[h2, r]).
     The read-sum is a psum over ICI (solve.rs:87-122 redistributed)."""
-    from jax.experimental.shard_map import shard_map
-
     def local(best_aln_shard, genotypes, priors):
         gt_best = jnp.maximum(best_aln_shard[genotypes[:, 0]],
                               best_aln_shard[genotypes[:, 1]])
@@ -86,10 +128,13 @@ def sharded_solve(mesh: Mesh, key, genotypes, hap_prob, hap_mid, unmapped_prob,
 def sharded_align(mesh: Mesh, reads, rlens, hap_wins, score_vec,
                   band: int = 48):
     """Read-batch-sharded banded alignment (P3/P4 of SURVEY.md §2.3):
-    the [N, L] batch splits along the full mesh; each device aligns its
-    shard with the local kernel (Pallas on TPU), no collectives — the
-    embarrassing parallelism of the reference's alignment worker pools."""
-    from ..ops.align import align_batch
+    the [N, L] batch splits along the full mesh and each device runs the
+    LOCAL kernel (the Pallas aligner on TPU, XLA on CPU) on its shard — no
+    collectives, the embarrassing parallelism of the reference's alignment
+    worker pools (locs.rs:1120-1146).  shard_map (not jit auto-sharding) so
+    the per-device program is the hand-written kernel, not an XLA
+    repartition of it."""
+    from ..ops.align import align_batch_auto
 
     n = mesh.devices.size
     N = reads.shape[0]
@@ -100,13 +145,18 @@ def sharded_align(mesh: Mesh, reads, rlens, hap_wins, score_vec,
         rlens = np.concatenate([rlens, np.zeros(pad, rlens.dtype)])
         hap_wins = np.concatenate(
             [hap_wins, np.full((pad, hap_wins.shape[1]), 4, hap_wins.dtype)])
-    shard = NamedSharding(mesh, P(("read", "gt")))
-    rep = NamedSharding(mesh, P())
-    reads = jax.device_put(jnp.asarray(reads), shard)
-    rlens = jax.device_put(jnp.asarray(rlens), shard)
-    hap_wins = jax.device_put(jnp.asarray(hap_wins), shard)
-    score_vec = jax.device_put(jnp.asarray(score_vec), rep)
-    res = align_batch(reads, rlens, hap_wins, score_vec, band=band)
+
+    def local(r, l, w, sv):
+        return align_batch_auto(r, l, w, sv, band=band)
+
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(("read", "gt")), P(("read", "gt")), P(("read", "gt")),
+                  P()),
+        out_specs=P(("read", "gt")),
+        check_rep=False)
+    res = fn(jnp.asarray(reads), jnp.asarray(rlens), jnp.asarray(hap_wins),
+             jnp.asarray(score_vec))
     return {k: np.asarray(v)[:N] for k, v in res.items()}
 
 

@@ -35,13 +35,21 @@ def genotype_locus(locus: LocusData, read_pairs, names, bg: BgDistr,
                    seed: int = 1, ploidy: int = 2, tag: str | None = None,
                    priors: dict | None = None, explicit_weights=None,
                    sam_dir=None, sol_path=None, debug: int = 0,
-                   out_dir=None) -> tuple[Genotyping, dict]:
+                   out_dir=None, mesh="auto") -> tuple[Genotyping, dict]:
     """Genotypes one locus from recruited reads.
 
     read_pairs: list of (codes1, codes2 | None).
     Returns (Genotyping, stats).
+
+    mesh: "auto" (default) shards alignment + solving over all attached
+    devices when more than one is present (parallel/mesh.py); None forces
+    the single-device path; or pass an explicit jax.sharding.Mesh.
     """
     import jax
+
+    if mesh == "auto":
+        from .parallel.mesh import auto_mesh
+        mesh = auto_mesh()
 
     params = params or Params()
     tag = tag or locus.contig_set.tag
@@ -55,7 +63,7 @@ def genotype_locus(locus: LocusData, read_pairs, names, bg: BgDistr,
     edit_cache = EditDistCache(bg.err_prof, EditThresh.default_for(tech))
     all_alns, stats = build_all_alignments(
         read_pairs, names, locus.contig_set, locus.kmer_counts, bg,
-        edit_cache, params)
+        edit_cache, params, mesh=mesh)
     logger.info("    [%s] %d/%d reads usable (%d poorly mapped, %d out of "
                 "bounds, %d low weight)", tag, all_alns.n_used,
                 stats["total"], stats["poorly_mapped"], stats["out_of_bounds"],
@@ -97,7 +105,8 @@ def genotype_locus(locus: LocusData, read_pairs, names, bg: BgDistr,
         result = solve_locus(tensors, pack, bg, genotypes, prior_vec, params,
                              scheme, key, tag=tag,
                              dist_matrix=locus.dist_matrix,
-                             sol_writer=sol_writer, gt_names=gt_names)
+                             sol_writer=sol_writer, gt_names=gt_names,
+                             mesh=mesh)
     finally:
         if sol_writer is not None:
             sol_writer.close()

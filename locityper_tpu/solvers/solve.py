@@ -196,6 +196,13 @@ def run_filter(genotypes: np.ndarray, priors: np.ndarray,
     gt_best = np.maximum(best_aln_matrix[genotypes[:, 0]],
                          best_aln_matrix[genotypes[:, 1]])     # [G, R]
     scores = priors + gt_best.sum(axis=1)
+    return select_by_scores(scores, filt_diff, out_size)
+
+
+def select_by_scores(scores: np.ndarray, filt_diff: float,
+                     out_size: int) -> np.ndarray:
+    """Selection half of the stage-0 filter: keep genotypes within
+    `filt_diff` of the best, at least `out_size` (solve.rs:87-122)."""
     ixs = np.argsort(-scores, kind="stable")
     n = ixs.size
     if out_size >= n:
@@ -292,11 +299,14 @@ def solve_locus(tensors: LocusTensors, pack: ContigInfoPack, bg_distr,
                 scheme: Scheme, key, tag: str = "locus",
                 dist_matrix: np.ndarray | None = None,
                 gt_batch: int = 512, sol_writer=None,
-                gt_names=None) -> Genotyping:
+                gt_names=None, mesh=None) -> Genotyping:
     """Full multi-stage solve of one locus on device.
 
     sol_writer: optional text stream receiving per-stage scores
     ("stage\\tgenotype\\tscore", counterpart of sol.csv.gz, solve.rs:918-919).
+    mesh: optional jax.sharding.Mesh — the stage-0 filter runs read-sharded
+    (psum over ICI) and every solver stage runs genotype-sharded over the
+    full mesh (the reference's solver worker pool, solve.rs:969-1127).
     """
     import jax
 
@@ -312,8 +322,18 @@ def solve_locus(tensors: LocusTensors, pack: ContigInfoPack, bg_distr,
     n_real = tensors.n_reads
     best_aln = np.maximum(tensors.hap_prob[:, :n_real].max(axis=2),
                           tensors.unmapped_prob[None, :n_real])  # [H, R]
-    ixs = run_filter(genotypes, priors, best_aln, params.filt_diff,
-                     scheme.stages[0].in_size)
+    if mesh is not None:
+        from ..parallel.mesh import sharded_filter_scores
+        pad_r = (-n_real) % mesh.shape["read"]
+        ba = np.pad(best_aln, ((0, 0), (0, pad_r)))  # zeros shift all equally
+        scores = np.asarray(sharded_filter_scores(
+            mesh, ba, genotypes.astype(np.int32),
+            priors.astype(np.float32)), np.float64)
+        ixs = select_by_scores(scores, params.filt_diff,
+                               scheme.stages[0].in_size)
+    else:
+        ixs = run_filter(genotypes, priors, best_aln, params.filt_diff,
+                         scheme.stages[0].in_size)
 
     predictions: dict[int, Prediction] = {}
     n_stages = len(scheme.stages)
@@ -369,17 +389,23 @@ def solve_locus(tensors: LocusTensors, pack: ContigInfoPack, bg_distr,
                     random_init=random_init)
         for s in range(0, ixs.size, gt_batch):
             chunk = ixs[s:s + gt_batch]
-            # Pad genotype chunks to power-of-two buckets (min 16) so the
-            # kernel compiles once per bucket regardless of panel size.
-            target = 16
+            # Pad genotype chunks to power-of-two buckets (min 16, and at
+            # least one genotype per device under a mesh) so the kernel
+            # compiles once per bucket regardless of panel size.
+            target = max(16, mesh.devices.size if mesh is not None else 0)
             while target < chunk.size:
                 target *= 2
             pad = target - chunk.size
             gts = genotypes[chunk]
             if pad:
                 gts = np.concatenate([gts, np.repeat(gts[-1:], pad, 0)])
-            liks, assgns = run_solver(
-                jax.random.fold_in(key, s_ix * 100003 + s), gts)
+            stage_key = jax.random.fold_in(key, s_ix * 100003 + s)
+            if mesh is not None:
+                from ..parallel.mesh import sharded_stage_solver
+                liks, assgns = sharded_stage_solver(mesh, run_solver,
+                                                    stage_key, gts)
+            else:
+                liks, assgns = run_solver(stage_key, gts)
             liks = np.asarray(liks, dtype=np.float64)
             final_stage = out_size is None
             if final_stage:
