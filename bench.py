@@ -24,7 +24,9 @@ BASELINE_READS_PER_SEC = 10_000.0
 def main():
     import jax
     from locityper_tpu.cli import _enable_compile_cache
+    from locityper_tpu.utils.malloc import tune_host_allocator
     _enable_compile_cache()
+    tune_host_allocator()
     from locityper_tpu.ops import align as A
     from locityper_tpu import sim
 

@@ -29,12 +29,15 @@ def _enable_compile_cache():
 def main(argv=None):
     setup_logging()
     _enable_compile_cache()
+    from .utils.malloc import tune_host_allocator
+    tune_host_allocator()
     parser = argparse.ArgumentParser(
         prog="locityper-tpu",
         description="TPU-native targeted genotyper (Locityper method)")
     sub = parser.add_subparsers(dest="command", required=True)
 
-    from .commands import add, preproc, genotype, recruit, align, prune, paf_vcf
+    from .commands import (add, preproc, genotype, recruit, align, prune,
+                           paf_vcf, index)
     for mod, name, help_ in [
         (add, "add", "Add locus/loci to the database"),
         (preproc, "preproc", "Preprocess a WGS sample (background distributions)"),
@@ -43,6 +46,7 @@ def main(argv=None):
         (align, "align", "All-vs-all haplotype alignment (PAF output)"),
         (prune, "prune", "Prune similar haplotypes from the database"),
         (paf_vcf, "paf-vcf", "Convert haplotype PAF alignments to VCF"),
+        (index, "index", "Index a coordinate-sorted BAM (.bai)"),
     ]:
         p = sub.add_parser(name, help=help_)
         mod.add_args(p)

@@ -110,6 +110,10 @@ def add_args(p):
     p.add_argument("-I", "--in-list", default=None, metavar="FILE",
                    help="File listing input read files, one per line "
                         "(genotype.rs -I)")
+    p.add_argument("-r", "--reference", default=None, metavar="FASTA",
+                   help="Reference FASTA: required for reference-based CRAM "
+                        "input, enables indexed fetch-region recruitment "
+                        "for coordinate-sorted BAM/CRAM (fastx.rs:586-887)")
     p.add_argument("--leave-out", nargs="*", default=None, metavar="HAP",
                    help="Exclude these haplotypes from every locus panel "
                         "(genotype.rs --leave-out)")
@@ -455,25 +459,101 @@ def recruit_reads_fast(loci: dict, path1, path2, recruit_params: RecruitParams,
     return out, speed
 
 
-def _read_iter(inputs, interleaved):
-    if len(inputs) == 1 and str(inputs[0]).endswith(".bam"):
-        from ..seq import bam as bamio
-        if bamio.is_paired_bam(inputs[0]):
-            for r1, r2 in bamio.read_bam_pairs(inputs[0]):
-                yield r1.name, r1.seq, r2.seq
+FETCH_PADDING = 2000   # fetch-region padding around loci (genotype.rs:792)
+
+
+def _load_ref_intervals(db: Path, names):
+    """Reference intervals of the loci (db/<locus>/ref.bed, written by
+    `add`); None when any locus lacks one (fall back to full scan)."""
+    out = []
+    for name in names:
+        p = paths.locus_dir(db, name) / paths.REF_BED
+        if not p.exists():
+            return None
+        fields = p.read_text().split()
+        out.append((fields[0], int(fields[1]), int(fields[2])))
+    return out
+
+
+def _indexed_read_iter(bam_path, regions, padding: int = FETCH_PADDING):
+    """(name, seq1, seq2|None) via BAI indexed fetch over the padded,
+    merged locus regions plus the unplaced tail — the reference's
+    fetch-region recruitment for sorted+indexed inputs
+    (genotype.rs:792-870, fastx.rs:586-660).  Mates pair by name within
+    the fetched set; orphans (mate outside every region) pass as single."""
+    from ..seq import bai as baio
+
+    idx = baio.BaiIndex.load(str(bam_path) + ".bai")
+    with open(bam_path, "rb") as fh:
+        names, _lens = baio.read_header(baio.VirtualReader(fh))
+    rid_of = {n: i for i, n in enumerate(names)}
+    per: dict = {}
+    for chrom, s, e in regions:
+        per.setdefault(chrom, []).append([max(s - padding, 0), e + padding])
+
+    def records():
+        for chrom, ivs in per.items():
+            rid = rid_of.get(chrom)
+            if rid is None:
+                continue
+            ivs.sort()
+            merged = []
+            for iv in ivs:
+                if merged and iv[0] <= merged[-1][1]:
+                    merged[-1][1] = max(merged[-1][1], iv[1])
+                else:
+                    merged.append(iv)
+            for s, e in merged:
+                yield from baio.fetch(bam_path, idx, rid, s, e)
+        yield from baio.fetch_unplaced(bam_path, idx)
+
+    pending: dict = {}
+    for rec in records():
+        if not rec.is_paired:
+            yield rec.name, rec.seq, None
+            continue
+        other = pending.pop(rec.name, None)
+        if other is None:
+            pending[rec.name] = rec
         else:
-            for r in bamio.read_bam(inputs[0]):
-                yield r.name, r.seq, None
-        return
-    if len(inputs) == 2:
+            r1, r2 = (rec, other) if rec.mate_ix == 0 else (other, rec)
+            yield r1.name, r1.seq, r2.seq
+    for rec in pending.values():
+        yield rec.name, rec.seq, None
+
+
+def _is_alignment_file(path) -> bool:
+    return str(path).endswith((".bam", ".cram"))
+
+
+def _read_iter(inputs, interleaved, reference=None):
+    """Yields (name, seq1, seq2|None) over the input set.
+
+    Mirrors the reference's input breadth (seq/fastx.rs:586-887): exactly
+    two FASTX files = one paired read set; otherwise every entry (from -i
+    or -I in-lists, freely mixing BAM/CRAM/FASTX) is an independent read
+    set streamed in order.  BAM/CRAM pairing is auto-detected per file;
+    --interleaved applies to single FASTX files."""
+    if (len(inputs) == 2 and not _is_alignment_file(inputs[0])
+            and not _is_alignment_file(inputs[1])):
         for r1, r2 in fastx.read_pairs(inputs[0], inputs[1]):
             yield r1.name, r1.seq, r2.seq
-    elif interleaved:
-        for r1, r2 in fastx.read_pairs(inputs[0], interleaved=True):
-            yield r1.name, r1.seq, r2.seq
-    else:
-        for r in fastx.read_fastx_auto(inputs[0]):
-            yield r.name, r.seq, None
+        return
+    for path in inputs:
+        if _is_alignment_file(path):
+            from ..seq import bam as bamio
+            if bamio.is_paired_bam(path, reference=reference):
+                for r1, r2 in bamio.read_bam_pairs(path, reference=reference):
+                    yield r1.name, r1.seq, r2.seq
+            else:
+                for r in bamio.read_bam(path, reference=reference):
+                    yield r.name, r.seq, None
+        elif interleaved:
+            for r1, r2 in fastx.read_pairs(path, interleaved=True):
+                yield r1.name, r1.seq, r2.seq
+        else:
+            for r in fastx.read_fastx_auto(path):
+                yield r.name, r.seq, None
 
 
 def run(args):
@@ -548,9 +628,21 @@ def _run(args):
                 need, args.input[0], args.input[1], rp,
                 subsample=args.subsample, seed=args.seed)
         else:
-            rec, _ = recruit_reads(
-                need, _read_iter(args.input, args.interleaved), rp,
-                subsample=args.subsample, seed=args.seed)
+            reads_iter = None
+            if (len(args.input) == 1 and str(args.input[0]).endswith(".bam")
+                    and Path(str(args.input[0]) + ".bai").exists()):
+                intervals = _load_ref_intervals(db, list(need))
+                if intervals is not None:
+                    logger.info("Indexed input: fetching %d locus region(s) "
+                                "+ unplaced tail instead of a full scan",
+                                len(intervals))
+                    reads_iter = _indexed_read_iter(args.input[0], intervals)
+            if reads_iter is None:
+                reads_iter = _read_iter(
+                    args.input, args.interleaved,
+                    reference=getattr(args, "reference", None))
+            rec, _ = recruit_reads(need, reads_iter, rp,
+                                   subsample=args.subsample, seed=args.seed)
         recruited.update(rec)
         for name in need:
             _save_recruited(out / paths.LOCI_DIR / name, *recruited[name])

@@ -180,7 +180,8 @@ def _load_head(args):
     """--skip-recruitment path: first --max-reads reads of the input."""
     reads1, reads2 = [], []
     from .genotype import _read_iter
-    for _name, c1, c2 in _read_iter(args.input, args.interleaved):
+    for _name, c1, c2 in _read_iter(args.input, args.interleaved,
+                                    reference=args.reference):
         reads1.append(c1)
         if c2 is not None:
             reads2.append(c2)
@@ -218,7 +219,8 @@ def _recruit_bg_reads(args, genome, chrom, start, end, counter, tech):
         contig_set=ContigSet("bg", ["bg"], [padded]),
         kmer_counts=padded_counts)
     out, speed = recruit_reads({"bg": bg_target},
-                               _read_iter(args.input, args.interleaved),
+                               _read_iter(args.input, args.interleaved,
+                                          reference=args.reference),
                                params, seed=0)
     pairs, _names = out["bg"]
     logger.info("Recruited %d read%s to the background region (%.1fk reads/s)",

@@ -53,7 +53,7 @@ def get_lib():
 
     lib.encode_dna.argtypes = [u8p, ctypes.c_int64, i8p]
     lib.canonical_kmers.argtypes = [i8p, ctypes.c_int64, ctypes.c_int32,
-                                    u64p, u8p]
+                                    u64p, u8p, u8p]
     lib.minimizers32.argtypes = [i8p, ctypes.c_int64, ctypes.c_int32,
                                  ctypes.c_int32, i64p, u32p, u8p]
     lib.minimizers32.restype = ctypes.c_int64
@@ -129,9 +129,11 @@ def canonical_kmers(codes: np.ndarray, k: int):
     m = max(n - k + 1, 0)
     kmer = np.empty(m, np.uint64)
     valid = np.empty(m, np.uint8)
+    fwd = np.empty(m, np.uint8)
     if m:
-        lib.canonical_kmers(np.ascontiguousarray(codes), n, k, kmer, valid)
-    return kmer, valid.astype(bool)
+        lib.canonical_kmers(np.ascontiguousarray(codes), n, k, kmer, valid,
+                            fwd)
+    return kmer, fwd.astype(bool), valid.astype(bool)
 
 
 def minimizers32_batch(mates, k: int, w: int):

@@ -40,7 +40,8 @@ void encode_dna(const uint8_t* seq, int64_t n, int8_t* out) {
 // out_valid[i] in {0,1}.  k <= 31.
 // ---------------------------------------------------------------------------
 void canonical_kmers(const int8_t* codes, int64_t n, int32_t k,
-                     uint64_t* out_kmer, uint8_t* out_valid) {
+                     uint64_t* out_kmer, uint8_t* out_valid,
+                     uint8_t* out_fwd) {
     const uint64_t UNDEF = ~0ULL;
     const int64_t m = n - k + 1;
     if (m <= 0) return;
@@ -62,9 +63,11 @@ void canonical_kmers(const int8_t* codes, int64_t n, int32_t k,
             if (since_invalid >= k) {
                 out_kmer[pos] = fw <= rv ? fw : rv;
                 out_valid[pos] = 1;
+                out_fwd[pos] = fw <= rv;
             } else {
                 out_kmer[pos] = UNDEF;
                 out_valid[pos] = 0;
+                out_fwd[pos] = 1;
             }
         }
     }
@@ -226,7 +229,9 @@ int64_t count_unique_nonoverlap(const int8_t* codes, int64_t n, int32_t k,
     // Compute canonical kmers into a small stack/heap buffer.
     uint64_t* km = new uint64_t[n_kmers];
     uint8_t* ok = new uint8_t[n_kmers];
-    canonical_kmers(codes, n, k, km, ok);
+    uint8_t* fwd = new uint8_t[n_kmers];
+    canonical_kmers(codes, n, k, km, ok, fwd);
+    delete[] fwd;
     int64_t count = 0;
     for (int64_t t = 0; t < n_kmers; ) {
         bool hit = false;

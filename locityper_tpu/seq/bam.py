@@ -109,15 +109,18 @@ class BamRecord:
         return Read(self.name, self.seq, self.qual)
 
 
-def read_bam_records(path, keep_flags: int = SKIP_MASK):
+def read_bam_records(path, keep_flags: int = SKIP_MASK, reference=None):
     """Yields BamRecord for every record whose FLAG has no bit of
     `keep_flags` set (default: primary records only).  Sequences are
-    restored to the original read orientation."""
+    restored to the original read orientation.  `.cram` files route to the
+    owned CRAM decoder (seq/cram.py); `reference` (FASTA path or dict) is
+    required for reference-based CRAM."""
     path = str(path)
     if path.endswith(".cram"):
-        raise ValueError(
-            "CRAM input is not supported in this build (needs htslib); "
-            "convert with `samtools view -b` first")
+        from .cram import read_cram_records
+        yield from read_cram_records(path, reference=reference,
+                                     keep_flags=keep_flags)
+        return
     buf = _StreamBuf(bgzf_decompress_stream(path))
     magic = buf.read(4)
     if magic != b"BAM\x01":
@@ -159,18 +162,18 @@ def read_bam_records(path, keep_flags: int = SKIP_MASK):
         yield BamRecord(name, flag, codes, qual, ref_id, pos, mapq)
 
 
-def read_bam(path):
+def read_bam(path, reference=None):
     """Yields fastx.Read for each primary record (single-end view)."""
-    for rec in read_bam_records(path):
+    for rec in read_bam_records(path, reference=reference):
         yield rec.to_read()
 
 
-def read_bam_pairs(path, max_pending: int = 4_000_000):
+def read_bam_pairs(path, max_pending: int = 4_000_000, reference=None):
     """Yields (Read, Read) mate pairs from one BAM, matching by name
     (the reference's pair-matching BAM reader, fastx.rs:700-887).
     Unpaired-flag records are skipped; orphans are dropped at the end."""
     pending: dict[str, BamRecord] = {}
-    for rec in read_bam_records(path):
+    for rec in read_bam_records(path, reference=reference):
         if not rec.is_paired:
             continue
         other = pending.pop(rec.name, None)
@@ -192,10 +195,10 @@ def is_bam(path) -> bool:
     return str(path).endswith(".bam")
 
 
-def is_paired_bam(path) -> bool:
+def is_paired_bam(path, reference=None) -> bool:
     """Peeks the first primary record's FLAG (how the reference decides
     between its paired and single BAM readers)."""
-    for rec in read_bam_records(path):
+    for rec in read_bam_records(path, reference=reference):
         return rec.is_paired
     return False
 

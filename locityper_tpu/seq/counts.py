@@ -1,9 +1,20 @@
 """Genome-wide k-mer counting and per-locus off-target counts.
 
-Replaces the reference's jellyfish subprocess (seq/counts.rs:253-363) with a
-host-side sorted-array counter: all canonical k-mers of the genome are packed
-into uint64 (k ≤ 31), sorted once, and per-sequence counts are obtained with
-binary search — a vectorized O(log G) probe per k-mer.
+Replaces the reference's jellyfish subprocess (seq/counts.rs:253-363) with an
+owned two-tier counter:
+
+* in-RAM tier: all canonical k-mers packed into uint64 (k ≤ 31), sorted once;
+  per-sequence counts are vectorized O(log G) binary-search probes.
+* disk tier (genome scale): once the buffered k-mer stream exceeds
+  `mem_limit` (default 2^26 ≈ 0.5 GB), k-mers spill to `n_partitions`
+  prefix-partitioned files; `finalize` turns each partition into a sorted
+  (unique kmers, saturating uint16 counts) pair on disk, and queries
+  binary-search the partitions through memory maps — each probe touches
+  O(log n) pages, not the file.  Peak RSS is bounded by
+  `mem_limit * 8 bytes + max-partition size` (≈ 0.5 GB + genome_kmers /
+  n_partitions * 10 bytes ≈ 0.6 GB for a 3 Gbp genome with 256 partitions)
+  regardless of genome size — the jellyfish role (counts.rs:253-363) without
+  the subprocess.
 
 `off_target_counts` mirrors seq/counts.rs:174-224: genome-wide counts minus
 occurrences inside the locus region itself, so "count == 0" means the k-mer
@@ -11,7 +22,10 @@ is unique to the locus.
 """
 from __future__ import annotations
 
+import shutil
+import tempfile
 from dataclasses import dataclass
+from pathlib import Path
 
 import numpy as np
 
@@ -19,35 +33,146 @@ from .kmers import canonical_kmers, UNDEF
 
 MAX_COUNT = np.uint16(65535)
 
+# In-RAM buffer limit before spilling to disk partitions: 2^26 k-mers
+# (512 MB).  Small genomes (tests, bacterial, exome subsets) never spill.
+DEFAULT_MEM_LIMIT = 1 << 26
+
 
 class GenomeKmerCounter:
-    """Sorted canonical-k-mer multiset of a genome."""
+    """Canonical-k-mer multiset of a genome: RAM-resident when small,
+    disk-partitioned with memmap'd sorted lookups at genome scale."""
 
-    def __init__(self, k: int):
+    def __init__(self, k: int, mem_limit: int = DEFAULT_MEM_LIMIT,
+                 n_partitions: int = 256, spill_dir=None):
         assert 1 <= k <= 31
         self.k = k
+        self.mem_limit = int(mem_limit)
+        self.n_partitions = int(n_partitions)
+        # Partition index = top bits of the canonical k-mer (2k-bit value).
+        self._shift = max(2 * k - int(self.n_partitions - 1).bit_length(), 0)
+        self._spill_dir = Path(spill_dir) if spill_dir else None
+        self._tmp_owned = spill_dir is None
         self._parts: list[np.ndarray] = []
-        self._sorted: np.ndarray | None = None
+        self._buffered = 0
+        self._spill_files: list | None = None      # open raw partition files
+        self._sorted: np.ndarray | None = None     # RAM tier
+        self._uniq: list | None = None             # disk tier: memmaps
+        self._cnts: list | None = None
+
+    # ---- build ----
 
     def add_seq(self, codes: np.ndarray) -> None:
         kmer, _, valid = canonical_kmers(codes, self.k)
         self._parts.append(kmer[valid])
+        self._buffered += int(self._parts[-1].size)
         self._sorted = None
+        if self._buffered > self.mem_limit:
+            self._spill()
+
+    def _spill(self) -> None:
+        """Flush the RAM buffer into per-prefix raw partition files."""
+        if self._spill_files is None:
+            if self._spill_dir is None:
+                self._spill_dir = Path(tempfile.mkdtemp(prefix="kmercount_"))
+            self._spill_dir.mkdir(parents=True, exist_ok=True)
+            self._spill_files = [
+                open(self._spill_dir / f"part{i:04d}.raw", "ab")
+                for i in range(self.n_partitions)]
+        allk = np.concatenate(self._parts) if self._parts else \
+            np.empty(0, np.uint64)
+        self._parts = []
+        self._buffered = 0
+        # The partition key is the k-mer's top bits, so sorting by k-mer
+        # groups partitions into contiguous ranges (no argsort/gather churn —
+        # fresh host pages are expensive on lazily-backed VMs).
+        allk.sort(kind="stable")
+        edges = (np.arange(self.n_partitions + 1, dtype=np.uint64)
+                 << np.uint64(self._shift))
+        if self._shift + (self.n_partitions - 1).bit_length() >= 64:
+            edges[-1] = np.iinfo(np.uint64).max
+        bounds = np.searchsorted(allk, edges, side="left")
+        bounds[-1] = allk.size
+        for i in range(self.n_partitions):
+            lo, hi = bounds[i], bounds[i + 1]
+            if hi > lo:
+                self._spill_files[i].write(allk[lo:hi].tobytes())
 
     def finalize(self) -> None:
+        if self._spill_files is not None:
+            self._spill()                   # flush the tail
+            for f in self._spill_files:
+                f.close()
+            self._spill_files = None
+            self._uniq, self._cnts = [], []
+            for i in range(self.n_partitions):
+                raw = self._spill_dir / f"part{i:04d}.raw"
+                kmers = np.fromfile(raw, np.uint64)
+                raw.unlink()
+                kmers.sort(kind="stable")
+                uniq, cnt = np.unique(kmers, return_counts=True)
+                del kmers
+                cnt16 = np.minimum(cnt, int(MAX_COUNT)).astype(np.uint16)
+                np.save(self._spill_dir / f"part{i:04d}.uniq.npy", uniq)
+                np.save(self._spill_dir / f"part{i:04d}.cnt.npy", cnt16)
+                self._uniq.append(np.load(
+                    self._spill_dir / f"part{i:04d}.uniq.npy", mmap_mode="r"))
+                self._cnts.append(np.load(
+                    self._spill_dir / f"part{i:04d}.cnt.npy", mmap_mode="r"))
+            return
         allk = (np.concatenate(self._parts) if self._parts
                 else np.empty(0, dtype=np.uint64))
         allk.sort(kind="stable")
         self._sorted = allk
         self._parts = []
+        self._buffered = 0
+
+    @property
+    def spilled(self) -> bool:
+        return self._uniq is not None or self._spill_files is not None
+
+    def close(self) -> None:
+        """Release memmaps and delete the spill directory (if owned)."""
+        self._uniq = self._cnts = None
+        if self._tmp_owned and self._spill_dir is not None \
+                and self._spill_dir.exists():
+            shutil.rmtree(self._spill_dir, ignore_errors=True)
+            self._spill_dir = None
+
+    def __del__(self):                         # pragma: no cover - GC timing
+        try:
+            self.close()
+        except Exception:
+            pass
+
+    # ---- query ----
 
     def counts_of(self, kmers: np.ndarray) -> np.ndarray:
         """Occurrences of each query k-mer in the genome (uint16, saturating)."""
-        if self._sorted is None:
+        if self._sorted is None and self._uniq is None:
             self.finalize()
-        lo = np.searchsorted(self._sorted, kmers, side="left")
-        hi = np.searchsorted(self._sorted, kmers, side="right")
-        return np.minimum(hi - lo, int(MAX_COUNT)).astype(np.uint16)
+        kmers = np.ascontiguousarray(kmers, np.uint64)
+        if self._uniq is None:
+            lo = np.searchsorted(self._sorted, kmers, side="left")
+            hi = np.searchsorted(self._sorted, kmers, side="right")
+            return np.minimum(hi - lo, int(MAX_COUNT)).astype(np.uint16)
+        # Disk tier: group queries by partition, memmap binary search.
+        out = np.zeros(kmers.size, np.uint16)
+        part = (kmers >> np.uint64(self._shift)).astype(np.int64)
+        order = np.argsort(part, kind="stable")
+        sp = part[order]
+        bounds = np.searchsorted(sp, np.arange(self.n_partitions + 1))
+        for i in range(self.n_partitions):
+            lo, hi = bounds[i], bounds[i + 1]
+            if hi == lo:
+                continue
+            q = kmers[order[lo:hi]]
+            uniq = self._uniq[i]
+            pos = np.searchsorted(uniq, q, side="left")
+            pos_c = np.minimum(pos, max(uniq.size - 1, 0))
+            found = (uniq.size > 0) & (uniq[pos_c] == q)
+            vals = np.where(found, self._cnts[i][pos_c], 0)
+            out[order[lo:hi]] = vals
+        return out
 
     def seq_counts(self, codes: np.ndarray) -> np.ndarray:
         """Counts for every k-mer position of `codes`; invalid positions get

@@ -11,3 +11,7 @@ if "host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+from locityper_tpu.utils.malloc import tune_host_allocator  # noqa: E402
+
+tune_host_allocator()

@@ -89,7 +89,7 @@ def test_read_fastx_auto_dispatch(tmp_path):
     assert len(got) == 1 and got[0].name == "x"
 
 
-def test_cram_rejected(tmp_path):
+def test_cram_truncated_rejected(tmp_path):
     p = tmp_path / "x.cram"
     p.write_bytes(b"CRAM")
     with pytest.raises(ValueError, match="CRAM"):

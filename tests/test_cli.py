@@ -345,7 +345,7 @@ class TestPreprocExtras:
                        "-d", str(db), "-p", str(prep),
                        "-o", str(tmp_path / "o")])
         assert rc == 1
-        assert any("CRAM" in r.message for r in caplog.records)
+        assert any("x.cram" in r.message for r in caplog.records)
 
 
 class TestRegWeights:

@@ -18,10 +18,12 @@ class TestNativeKmers:
             if trial % 2:
                 seq[rng.integers(0, 500, 10)] = 4  # sprinkle Ns
             for k in (15, 25, 31):
-                nk, nv = native.canonical_kmers(seq, k)
-                pk, _, pv = K.canonical_kmers(seq, k)
+                nk, nf, nv = native.canonical_kmers(seq, k)
+                pk, pf, pv = K._canonical_kmers_numpy(seq, k)
                 np.testing.assert_array_equal(nv, pv)
                 np.testing.assert_array_equal(nk, pk)
+                # forward flags only matter at valid positions
+                np.testing.assert_array_equal(nf[nv], pf[pv])
 
     def test_minimizers32_parity(self):
         rng = np.random.default_rng(1)
