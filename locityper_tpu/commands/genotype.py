@@ -701,6 +701,30 @@ def _run(args):
             if not path.exists():
                 raise ValueError(f"{args.reg_weights}: {path} does not exist")
             weight_files[cols[0]] = path
+    # Multi-locus device batching: align every locus's candidate jobs in
+    # one global device stream (model/locs.py:build_all_alignments_panel);
+    # per-locus results are identical to the unbatched path.
+    panel_alns = {}
+    if len(todo) > 1:
+        from ..bg.err_prof import EditDistCache, EditThresh
+        from ..model.locs import build_all_alignments_panel
+        params.set_tweak_size(bg.depth.window_size)
+        if params.band is None:
+            params.band = 48 if tech.are_short_reads else 160
+        edit_cache = EditDistCache(bg.err_prof, EditThresh.default_for(tech))
+        panel = [(recruited[n][0], recruited[n][1], loci[n].contig_set,
+                  loci[n].kmer_counts) for n in todo]
+        try:
+            from ..parallel.mesh import auto_mesh
+            built = build_all_alignments_panel(panel, bg, edit_cache, params,
+                                               mesh=auto_mesh())
+            panel_alns = dict(zip(todo, built))
+            logger.info("Aligned %d loci in one device stream (%d reads)",
+                        len(todo), sum(s["total"] for _, s in built))
+        except Exception:
+            logger.exception("panel-batched alignment failed; falling back "
+                             "to per-locus alignment")
+
     failures = 0
     for li, name in enumerate(todo):
         pairs, names = recruited[name]
@@ -724,7 +748,8 @@ def _run(args):
                 priors=locus_priors, explicit_weights=explicit,
                 sam_dir=(ldir / paths.ALNS_OUT_DIR) if args.out_sams else None,
                 sol_path=(ldir / paths.SOL_CSV) if args.debug else None,
-                debug=args.debug, out_dir=ldir)
+                debug=args.debug, out_dir=ldir,
+                prebuilt_alns=panel_alns.get(name))
         except Exception:
             logger.exception("[%s] genotyping failed", name)
             failures += 1

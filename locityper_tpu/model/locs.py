@@ -396,6 +396,87 @@ def _padded_mate_matrices(mates, L):
     return fwd, rc.astype(np.int8), lens
 
 
+def _prepare_align_jobs(mates, jobs, contig_set, band, L: int | None = None):
+    """Assembles the UNPADDED job arrays for `_align_candidates`:
+    (reads [J, L], lens [J], wins [J, L+band], meta).  `L` may be forced
+    larger (multi-locus batching pads every locus to the panel bucket —
+    safe: the kernel never reads past lens[i] + band)."""
+    jm, jh, jo, jd = (np.asarray(a, np.int64) for a in jobs)
+    max_read = max(m.size for m in mates)
+    L = L or (-(-max_read // 64) * 64)
+    fwd_mat, rc_mat, all_lens = _padded_mate_matrices(mates, L)
+    W = L + band
+    all_ws = jd - band // 2
+    # Window gather grouped per haplotype (extract_windows is vectorized).
+    all_wins = np.full((jm.size, W), 4, np.int8)
+    for hp in np.unique(jh):
+        rows = np.nonzero(jh == hp)[0]
+        all_wins[rows] = A.extract_windows(contig_set.seqs[hp], all_ws[rows], W)
+    reads = np.where(jo[:, None] == 1, rc_mat[jm], fwd_mat[jm])
+    lens = all_lens[jm].astype(np.int32)
+    meta = (jm, jh, jo, all_ws)
+    return reads, lens, all_wins, meta
+
+
+def run_align_batches(reads, lens, wins, score_vec, band,
+                      batch: int | None = None, mesh=None) -> dict:
+    """Streams [J, L] job arrays through the device kernel in pow2-bucketed
+    batches; one blocking sync at the end (dispatches overlap).  With
+    `mesh`, each batch is read-sharded (parallel/mesh.py:sharded_align) —
+    the reference's alignment worker pool (locs.rs:1120-1146).
+
+    Default batch scales inversely with L (~1.5M read bases per dispatch):
+    short reads go 8192/dispatch — dispatch round-trips, not the kernel,
+    dominate on relay-attached chips (BENCH_NOTES round 2)."""
+    J = reads.shape[0]
+    if batch is None:
+        L = max(int(reads.shape[1]), 1)
+        batch = max(512, min(8192, 1 << ((1 << 21) // L).bit_length() - 1))
+    pending = []
+    for s in range(0, J, batch):
+        sl = slice(s, min(s + batch, J))
+        n = sl.stop - sl.start
+        # Bucket N to powers of two (>=256) to bound distinct compile shapes.
+        N = 256
+        while N < n:
+            N *= 2
+        r = np.full((N, reads.shape[1]), 4, np.int8)
+        r[:n] = reads[sl]
+        ln = np.zeros(N, np.int32)
+        ln[:n] = lens[sl]
+        w = np.full((N, wins.shape[1]), 4, np.int8)
+        w[:n] = wins[sl]
+        if mesh is not None:
+            from ..parallel.mesh import sharded_align
+            res = sharded_align(mesh, r, ln, w, score_vec, band=band)
+        else:
+            res = A.align_batch_auto(r, ln, w, score_vec, band=band)
+        pending.append((res, n))
+    out: dict = {}
+    for res, n in pending:                    # np.asarray syncs here
+        for k, v in res.items():
+            out.setdefault(k, []).append(np.asarray(v)[:n])
+    return {k: np.concatenate(v) for k, v in out.items()}
+
+
+def _finish_align(res: dict, meta, lens) -> MateAlnTable:
+    """Turns flat kernel outputs + job meta into a MateAlnTable."""
+    jm, jh, jo, all_ws = meta
+    edit, _ = A.edit_and_matches(res, lens)
+    return MateAlnTable(
+        mate=jm, hap=jh,
+        start=all_ws + res["start_p"].astype(np.int64),
+        end=all_ws + res["end_p"].astype(np.int64),
+        fwd=jo == 0,
+        prob=res["score"].astype(np.float64),
+        edit=edit.astype(np.int64),
+        n_mism=res["n_mism"].astype(np.int64),
+        n_ins=res["n_ins"].astype(np.int64),
+        n_del=res["n_del"].astype(np.int64),
+        n_clip=res["n_clip"].astype(np.int64),
+        ws=all_ws.copy())
+
+
 def _align_candidates(mates, jobs, contig_set, score_vec, band,
                       batch=2048, mesh=None) -> MateAlnTable:
     """Aligns every (mate, candidate) job on device; returns a flat
@@ -403,59 +484,14 @@ def _align_candidates(mates, jobs, contig_set, score_vec, band,
 
     mates: list of code arrays; jobs: flat arrays (mate_ix, hap, orient,
     diag) from `candidates_batch_flat`.  Batch assembly and result
-    collection are fully vectorized.  With `mesh`, each padded batch is
-    read-sharded over the device mesh (parallel/mesh.py:sharded_align) —
-    the reference's alignment worker pool (locs.rs:1120-1146)."""
-    jm, jh, jo, jd = (np.asarray(a, np.int64) for a in jobs)
-    if jm.size == 0:
+    collection are fully vectorized."""
+    if np.asarray(jobs[0]).size == 0:
         return MateAlnTable.empty()
-    # Static shapes: pad N to the batch size and L to a 64-multiple bucket so
-    # the device kernel compiles once per (batch, bucket), not per call.
-    max_read = max(m.size for m in mates)
-    L = -(-max_read // 64) * 64
-    fwd_mat, rc_mat, all_lens = _padded_mate_matrices(mates, L)
-    W = L + band
-    all_ws = jd - band // 2
-    # Window gather grouped per haplotype (extract_windows is vectorized).
-    all_wins = np.empty((jm.size, W), np.int8)
-    for hp in np.unique(jh):
-        rows = np.nonzero(jh == hp)[0]
-        all_wins[rows] = A.extract_windows(contig_set.seqs[hp], all_ws[rows], W)
-    parts = []
-    for s in range(0, jm.size, batch):
-        sl = slice(s, min(s + batch, jm.size))
-        n = sl.stop - sl.start
-        # Bucket N to powers of two (>=256) to bound distinct compile shapes.
-        N = 256
-        while N < n:
-            N *= 2
-        reads = np.full((N, L), 4, np.int8)
-        reads[:n] = np.where(jo[sl, None] == 1, rc_mat[jm[sl]], fwd_mat[jm[sl]])
-        lens = np.zeros(N, np.int32)
-        lens[:n] = all_lens[jm[sl]]
-        wins = np.full((N, W), 4, np.int8)
-        wins[:n] = all_wins[sl]
-        if mesh is not None:
-            from ..parallel.mesh import sharded_align
-            res = sharded_align(mesh, reads, lens, wins, score_vec, band=band)
-        else:
-            res = A.align_batch_auto(reads, lens, wins, score_vec, band=band)
-        res = {k: np.asarray(v)[:n] for k, v in res.items()}
-        edit, _ = A.edit_and_matches(res, lens[:n])
-        ws = all_ws[sl]
-        parts.append(MateAlnTable(
-            mate=jm[sl], hap=jh[sl],
-            start=ws + res["start_p"].astype(np.int64),
-            end=ws + res["end_p"].astype(np.int64),
-            fwd=jo[sl] == 0,
-            prob=res["score"].astype(np.float64),
-            edit=edit.astype(np.int64),
-            n_mism=res["n_mism"].astype(np.int64),
-            n_ins=res["n_ins"].astype(np.int64),
-            n_del=res["n_del"].astype(np.int64),
-            n_clip=res["n_clip"].astype(np.int64),
-            ws=ws.copy()))
-    return MateAlnTable.concat(parts)
+    reads, lens, wins, meta = _prepare_align_jobs(mates, jobs, contig_set,
+                                                  band)
+    res = run_align_batches(reads, lens, wins, score_vec, band, batch=batch,
+                            mesh=mesh)
+    return _finish_align(res, meta, lens)
 
 
 # ---------------------------------------------------------------------------
@@ -657,6 +693,66 @@ def build_all_alignments(read_pairs, names, contig_set: ContigSet,
 
     Semantics are bit-identical to `build_all_alignments_obj` (the readable
     per-read oracle below; guarded by tests/test_locs_parity.py)."""
+    gen = _build_all_alignments_gen(read_pairs, names, contig_set,
+                                    kmer_counts, bg, edit_cache, params,
+                                    minimizer_k, minimizer_w)
+    req = next(gen)
+    res = None
+    if req is not None:
+        reads, lens, wins, score_vec, band = req
+        res = run_align_batches(reads, lens, wins, score_vec, band,
+                                mesh=mesh)
+    return gen.send(res)
+
+
+def build_all_alignments_panel(panel, bg: BgDistr, edit_cache: EditDistCache,
+                               params: Params, minimizer_k: int = 15,
+                               minimizer_w: int = 10, mesh=None):
+    """Multi-locus device batching: candidate alignment jobs of EVERY locus
+    run as one global device stream (shared [*, L] bucket), amortizing
+    dispatch latency across the panel; the host phases stay per-locus.
+    Results are identical to per-locus `build_all_alignments` (guarded by
+    tests/test_panel.py::test_panel_batched_equals_per_locus).
+
+    panel: list of (read_pairs, names, contig_set, kmer_counts).
+    Returns list of (AllAlignments, stats) in panel order.
+    """
+    max_read = max((m.size for rp, _, _, _ in panel for pair in rp
+                    for m in pair if m is not None), default=64)
+    L = -(-max_read // 64) * 64
+    gens, reqs = [], []
+    for read_pairs, names, contig_set, kmer_counts in panel:
+        g = _build_all_alignments_gen(read_pairs, names, contig_set,
+                                      kmer_counts, bg, edit_cache, params,
+                                      minimizer_k, minimizer_w, panel_L=L)
+        reqs.append(next(g))
+        gens.append(g)
+    live = [i for i, r in enumerate(reqs) if r is not None]
+    results = [None] * len(gens)
+    if live:
+        score_vec, band = reqs[live[0]][3], reqs[live[0]][4]
+        cat_reads = np.concatenate([reqs[i][0] for i in live])
+        cat_lens = np.concatenate([reqs[i][1] for i in live])
+        cat_wins = np.concatenate([reqs[i][2] for i in live])
+        res = run_align_batches(cat_reads, cat_lens, cat_wins, score_vec,
+                                band, mesh=mesh)
+        off = 0
+        for i in live:
+            n = reqs[i][0].shape[0]
+            results[i] = {k: v[off:off + n] for k, v in res.items()}
+            off += n
+    return [g.send(results[i]) for i, g in enumerate(gens)]
+
+
+def _build_all_alignments_gen(read_pairs, names, contig_set: ContigSet,
+                              kmer_counts: KmerCounts, bg: BgDistr,
+                              edit_cache: EditDistCache, params: Params,
+                              minimizer_k: int = 15, minimizer_w: int = 10,
+                              panel_L: int | None = None):
+    """Coroutine body of `build_all_alignments`: yields ONE device-align
+    request (reads, lens, wins, score_vec, band) — or None when no
+    candidates — then receives the kernel outputs via .send() and yields
+    the final (AllAlignments, stats)."""
     is_paired = bg.insert_distr.is_paired_end
     tweak = params.tweak if params.tweak is not None else 0
     boundary = params.boundary_size - tweak
@@ -690,8 +786,14 @@ def build_all_alignments(read_pairs, names, contig_set: ContigSet,
     jobs = hap_index.candidates_batch_flat(mates, minimizer_w, params.band,
                                            params.min_anchor_votes,
                                            max_per_hap=3)
-    tbl = _align_candidates(mates, jobs, contig_set, score_vec, params.band,
-                            mesh=mesh)
+    if np.asarray(jobs[0]).size == 0:
+        _ = yield None                   # resumed by .send(None)
+        tbl = MateAlnTable.empty()
+    else:
+        reads, lens, wins, meta = _prepare_align_jobs(
+            mates, jobs, contig_set, params.band, L=panel_L)
+        res = yield (reads, lens, wins, score_vec, params.band)
+        tbl = _finish_align(res, meta, lens)
 
     empty64 = np.empty(0, np.int64)
     empty_result = AllAlignments(
@@ -705,7 +807,8 @@ def build_all_alignments(read_pairs, names, contig_set: ContigSet,
     #       group order = first occurrence (matches dict-insertion oracle).
     if len(tbl) == 0:
         stats["poorly_mapped"] = R
-        return empty_result, stats
+        yield empty_result, stats
+        return
     bin_ = tbl.start >> 7
     order = np.lexsort((-tbl.prob, bin_, tbl.hap, tbl.mate))
     km, khp, kb = tbl.mate[order], tbl.hap[order], bin_[order]
@@ -746,7 +849,8 @@ def build_all_alignments(read_pairs, names, contig_set: ContigSet,
     stats["out_of_bounds"] = int((well & ~read_inb).sum())
     survive = well & read_inb
     if not survive.any():
-        return empty_result, stats
+        yield empty_result, stats
+        return
 
     # -- D) unique-kmer pair weights (locs.rs:905-993).
     mate_uniq = uniq.count_batch(mates)
@@ -887,7 +991,7 @@ def build_all_alignments(read_pairs, names, contig_set: ContigSet,
         c_mid1=cand["mid1"], c_mid2=cand["mid2"],
         c_a1=cand["a1"], c_a2=cand["a2"],
         used_mask=used_mask)
-    return result, stats
+    yield result, stats
 
 
 def build_all_alignments_obj(read_pairs, names, contig_set: ContigSet,

@@ -35,7 +35,8 @@ def genotype_locus(locus: LocusData, read_pairs, names, bg: BgDistr,
                    seed: int = 1, ploidy: int = 2, tag: str | None = None,
                    priors: dict | None = None, explicit_weights=None,
                    sam_dir=None, sol_path=None, debug: int = 0,
-                   out_dir=None, mesh="auto") -> tuple[Genotyping, dict]:
+                   out_dir=None, mesh="auto",
+                   prebuilt_alns=None) -> tuple[Genotyping, dict]:
     """Genotypes one locus from recruited reads.
 
     read_pairs: list of (codes1, codes2 | None).
@@ -44,6 +45,9 @@ def genotype_locus(locus: LocusData, read_pairs, names, bg: BgDistr,
     mesh: "auto" (default) shards alignment + solving over all attached
     devices when more than one is present (parallel/mesh.py); None forces
     the single-device path; or pass an explicit jax.sharding.Mesh.
+    prebuilt_alns: optional (AllAlignments, stats) from
+    model/locs.py:build_all_alignments_panel — multi-locus batched
+    alignment (the per-locus align step is then skipped).
     """
     import jax
 
@@ -61,9 +65,12 @@ def genotype_locus(locus: LocusData, read_pairs, names, bg: BgDistr,
     if params.band is None:
         params.band = 48 if tech.are_short_reads else 160
     edit_cache = EditDistCache(bg.err_prof, EditThresh.default_for(tech))
-    all_alns, stats = build_all_alignments(
-        read_pairs, names, locus.contig_set, locus.kmer_counts, bg,
-        edit_cache, params, mesh=mesh)
+    if prebuilt_alns is not None:
+        all_alns, stats = prebuilt_alns
+    else:
+        all_alns, stats = build_all_alignments(
+            read_pairs, names, locus.contig_set, locus.kmer_counts, bg,
+            edit_cache, params, mesh=mesh)
     logger.info("    [%s] %d/%d reads usable (%d poorly mapped, %d out of "
                 "bounds, %d low weight)", tag, all_alns.n_used,
                 stats["total"], stats["poorly_mapped"], stats["out_of_bounds"],
