@@ -284,7 +284,7 @@ def list_loci(db: Path) -> list[str]:
 
 
 def recruit_reads(loci: dict, read_iter, recruit_params: RecruitParams,
-                  subsample=None, seed=0, batch=4096, use_device=True):
+                  subsample=None, seed=0, batch=8192, use_device=True):
     """Recruits all reads against all loci at once (genotype.rs:931-975).
 
     Paired short reads run through the device kernel in dense batches
@@ -311,6 +311,16 @@ def recruit_reads(loci: dict, read_iter, recruit_params: RecruitParams,
             dev = DeviceIndex.from_index(index)
         return dev
 
+    # Double-buffered dispatch: the device computes batch N while the host
+    # fills batch N+1 and scatters batch N-1 (the reference's recruitment
+    # worker pipeline, recruit.rs:1103-1311, as async dispatch).
+    pending = []                # [(buf_snapshot, device_result, paired)]
+
+    def resolve_pending(keep: int = 1):
+        while len(pending) > keep:
+            buf, res, paired = pending.pop(0)
+            scatter_hits(buf, np.asarray(res), paired)
+
     def scatter_hits(buf, hits, paired):
         hits = np.asarray(hits[:len(buf)], bool)
         ri, li = np.nonzero(hits)
@@ -320,12 +330,11 @@ def recruit_reads(loci: dict, read_iter, recruit_params: RecruitParams,
             pairs.append((c1, c2) if paired else (c1, None))
             names.append(name)
         progress.add(len(buf), int(hits.any(axis=1).sum()))
-        buf.clear()
 
     def flush_pairs(buf):
         if not buf:
             return
-        from ..ops.recruit import run_pairs
+        from ..ops.recruit import run_pairs_async
         L = max(max(c1.size, c2.size) for _, c1, c2 in buf)
         L = -(-L // 64) * 64
         B = batch  # fixed batch shape; short flushes are padded
@@ -334,32 +343,38 @@ def recruit_reads(loci: dict, read_iter, recruit_params: RecruitParams,
         for i, (_, c1, c2) in enumerate(buf):
             m1[i, :c1.size] = c1[:L]
             m2[i, :c2.size] = c2[:L]
-        scatter_hits(buf, run_pairs(get_dev(), m1, m2), paired=True)
+        pending.append((list(buf), run_pairs_async(get_dev(), m1, m2), True))
+        buf.clear()
+        resolve_pending()
 
     def flush_shorts(buf):
         if not buf:
             return
-        from ..ops.recruit import run_short
+        from ..ops.recruit import run_short_async
         L = max(c1.size for _, c1, _ in buf)
         L = -(-L // 64) * 64
         m1 = np.full((batch, L), 4, np.int8)
         for i, (_, c1, _) in enumerate(buf):
             m1[i, :c1.size] = c1[:L]
-        scatter_hits(buf, run_short(get_dev(), m1), paired=False)
+        pending.append((list(buf), run_short_async(get_dev(), m1), False))
+        buf.clear()
+        resolve_pending()
 
     def flush_long(L, buf):
         """One bucketed device batch of long single reads (Kadane stretch
         kernel, ops/recruit.py run_long — recruit.rs:940-997)."""
         if not buf:
             return
-        from ..ops.recruit import run_long
+        from ..ops.recruit import run_long_async
         B = max((1 << 21) // L, 8)
         m1 = np.full((B, L), 4, np.int8)
         for i, (_, c1, _) in enumerate(buf):
             m1[i, :c1.size] = c1
         p = index.params
-        scatter_hits(buf, run_long(get_dev(), m1, p.stretch_minims,
-                                   p.stretch_score), paired=False)
+        pending.append((list(buf), run_long_async(
+            get_dev(), m1, p.stretch_minims, p.stretch_score), False))
+        buf.clear()
+        resolve_pending()
 
     pair_buf, short_buf = [], []
     long_bufs = {}              # L bucket (pow2) -> list
@@ -395,6 +410,7 @@ def recruit_reads(loci: dict, read_iter, recruit_params: RecruitParams,
     flush_shorts(short_buf)
     for L, buf in sorted(long_bufs.items()):
         flush_long(L, buf)
+    resolve_pending(keep=0)
     speed = progress.final()
     return out, speed
 

@@ -79,6 +79,16 @@ class DeviceIndex:
         return _Cfg(self.n_loci, self.n_groups, self.k, self.w,
                     self.frac_p, self.frac_q)
 
+    def device_args(self):
+        """Index tables resident on device (uploaded once — implicit
+        numpy->jit transfers take a slow per-call path on relay-attached
+        chips, BENCH_NOTES round 2)."""
+        if not hasattr(self, "_dev_args"):
+            object.__setattr__(self, "_dev_args", tuple(
+                jax.device_put(a) for a in (self.keys, self.fw_mask,
+                                            self.bw_mask, self.rare_mask)))
+        return self._dev_args
+
 
 def _canonical_hashes(reads, k: int):
     """[B, P] uint32 minimizer-space hashes; UNDEF32 where invalid."""
@@ -324,19 +334,34 @@ def recruit_long_batch(cfg, reads, keys, fw_mask, bw_mask, rare_mask,
     return frac_ok & stretch_ok
 
 
+def run_long_async(dev: DeviceIndex, reads: np.ndarray, stretch_minims: int,
+                   stretch_score: int):
+    """Dispatches and returns the device array (no host sync)."""
+    return recruit_long_batch(dev.cfg, jax.device_put(reads),
+                              *dev.device_args(), stretch_minims,
+                              stretch_score)
+
+
+def run_short_async(dev: DeviceIndex, reads: np.ndarray):
+    return recruit_short_batch(dev.cfg, jax.device_put(reads),
+                               *dev.device_args())
+
+
+def run_pairs_async(dev: DeviceIndex, reads1: np.ndarray,
+                    reads2: np.ndarray):
+    return recruit_pairs_batch(dev.cfg, jax.device_put(reads1),
+                               jax.device_put(reads2), *dev.device_args())
+
+
 def run_long(dev: DeviceIndex, reads: np.ndarray, stretch_minims: int,
              stretch_score: int):
-    return np.asarray(recruit_long_batch(
-        dev.cfg, reads, dev.keys, dev.fw_mask, dev.bw_mask, dev.rare_mask,
-        stretch_minims, stretch_score))
+    return np.asarray(run_long_async(dev, reads, stretch_minims,
+                                     stretch_score))
 
 
 def run_short(dev: DeviceIndex, reads: np.ndarray):
-    return np.asarray(recruit_short_batch(
-        dev.cfg, reads, dev.keys, dev.fw_mask, dev.bw_mask, dev.rare_mask))
+    return np.asarray(run_short_async(dev, reads))
 
 
 def run_pairs(dev: DeviceIndex, reads1: np.ndarray, reads2: np.ndarray):
-    return np.asarray(recruit_pairs_batch(
-        dev.cfg, reads1, reads2, dev.keys, dev.fw_mask, dev.bw_mask,
-        dev.rare_mask))
+    return np.asarray(run_pairs_async(dev, reads1, reads2))
