@@ -55,6 +55,13 @@ class SolverConfig:
     # Pallas kernel depth-table height (ops/solver_pallas.py).  Depths
     # above this clamp to the last row; the XLA engine uses DEPTH_CAP=256.
     d_tab: int = 64
+    # Reference-greedy mode (stoch.rs:36-145): when greedy_sample > 0 the
+    # XLA chain samples that many non-trivial reads per iteration, applies
+    # the single best improving reassignment, and stops after plato_size
+    # iterations without improvement (instead of the fixed-length
+    # accept-improving polish walk).
+    greedy_sample: int = 0
+    plato_size: int = 100
 
 
 def _gather_candidates(hap_prob, hap_mid, unmapped_prob, gt, prob_diff):
@@ -266,6 +273,116 @@ def _chain(key, probs, wins, vorder, vcount, nt_ixs, nt_count, bayes, win_gc,
     return total, assgn
 
 
+def _greedy_chain(key, probs, wins, vorder, vcount, nt_ixs, nt_count, bayes,
+                  win_gc, win_weight, cfg: SolverConfig, random_init: bool):
+    """Reference Greedy solver (stoch.rs:36-145) as a TPU while-loop: per
+    iteration sample `cfg.greedy_sample` non-trivial reads (with
+    replacement — the reference samples without), take the single best
+    improving reassignment over ALL candidates of the sampled reads, stop
+    after `cfg.plato_size` non-improving iterations (max iter
+    max(100k, 100*plato), min_diff = eps * max|random delta|)."""
+    R, K = probs.shape
+    W = win_gc.shape[0]
+    S = cfg.greedy_sample
+    k_init, k_probe, k_steps = jax.random.split(key, 3)
+
+    if random_init:
+        u = jax.random.uniform(k_init, (R,))
+        pick = jnp.floor(u * vcount).astype(jnp.int32)
+        assgn = jnp.take_along_axis(vorder, pick[:, None], 1)[:, 0]
+    else:
+        assgn = jnp.argmax(probs, axis=1).astype(jnp.int32)
+
+    w_asg = jnp.take_along_axis(
+        wins, assgn[:, None, None].repeat(2, 2), 1)[:, 0]
+    depth = jnp.zeros(W, jnp.int32).at[w_asg.reshape(-1)].add(1)
+    aln_lik = jnp.sum(jnp.take_along_axis(probs, assgn[:, None], 1))
+    depth_lik = jnp.sum(_depth_lik_terms(bayes, win_gc, win_weight, depth))
+    dc, ac = jnp.float32(cfg.depth_contrib), jnp.float32(cfg.aln_contrib)
+
+    # min_diff from 100 random probes (stoch.rs:19-29; eps scaled for f32).
+    def probe(i, carry):
+        mx, state = carry
+        assgn_, depth_ = state
+        k1, k2 = jax.random.split(jax.random.fold_in(k_probe, i))
+        r = nt_ixs[jax.random.randint(k1, (), 0, jnp.maximum(nt_count, 1))]
+        old_slot = assgn_[r]
+        n_valid = vcount[r]
+        old_pos = jnp.argmax(vorder[r] == old_slot)
+        i2 = jax.random.randint(k2, (), 1, jnp.maximum(n_valid, 2))
+        new_slot = vorder[r, jnp.where(i2 <= old_pos, i2 - 1, i2)]
+        d_aln = probs[r, new_slot] - probs[r, old_slot]
+        d_dep = _depth_lik_diff(bayes, win_gc, win_weight, depth_,
+                                wins[r, old_slot, 0], wins[r, old_slot, 1],
+                                wins[r, new_slot, 0], wins[r, new_slot, 1])
+        return jnp.maximum(mx, jnp.abs(ac * d_aln + dc * d_dep)), state
+    max_abs, _ = jax.lax.fori_loop(0, 100, probe,
+                                   (jnp.float32(0.0), (assgn, depth)))
+    min_diff = jnp.maximum(1e-6 * max_abs, jnp.float32(1e-8))
+
+    max_iter = max(100_000, cfg.plato_size * 100)
+    diff4 = jax.vmap(jax.vmap(
+        _depth_lik_diff,
+        in_axes=(None, None, None, None, None, None, 0, 0)),
+        in_axes=(None, None, None, None, 0, 0, 0, 0))
+
+    def cond(carry):
+        _state, _liks, plato, it = carry
+        return (plato <= cfg.plato_size) & (it < max_iter)
+
+    def body(carry):
+        state, liks, plato, it = carry
+        assgn_, depth_ = state
+        k = jax.random.fold_in(k_steps, it)
+        rs = nt_ixs[jax.random.randint(k, (S,), 0,
+                                       jnp.maximum(nt_count, 1))]   # [S]
+        old = assgn_[rs]                                            # [S]
+        p_old = probs[rs, old]
+        d_aln = probs[rs] - p_old[:, None]                          # [S, K]
+        w1 = wins[rs, old, 0]
+        w2 = wins[rs, old, 1]                                       # [S]
+        w3 = wins[rs, :, 0]
+        w4 = wins[rs, :, 1]                                         # [S, K]
+        d_dep = diff4(bayes, win_gc, win_weight, depth_, w1, w2, w3, w4)
+        delta = ac * d_aln + dc * d_dep                             # [S, K]
+        flat = delta.reshape(-1)
+        best = jnp.argmax(flat)
+        best_v = flat[best]
+        si, ki = best // K, best % K
+        improved = best_v > min_diff
+        r = rs[si]
+        old_slot = old[si]
+        new_slot = ki.astype(jnp.int32)
+        state, liks = apply_move_greedy(
+            state, liks, r, old_slot, new_slot,
+            (w1[si], w2[si], wins[r, new_slot, 0], wins[r, new_slot, 1]),
+            d_aln[si, ki], d_dep[si, ki], improved)
+        plato = jnp.where(improved, 0, plato + 1)
+        return state, liks, plato, it + 1
+
+    def apply_move_greedy(state, liks, r, old_slot, new_slot, ws, d_aln,
+                          d_depth, accept):
+        assgn_, depth_ = state
+        a_lik, d_lik = liks
+        w1, w2, w3, w4 = ws
+        assgn_ = assgn_.at[r].set(jnp.where(accept, new_slot, old_slot))
+        inc = jnp.where(accept, 1, 0)
+        depth_ = depth_.at[w1].add(-inc).at[w2].add(-inc)                        .at[w3].add(inc).at[w4].add(inc)
+        return (assgn_, depth_), (a_lik + jnp.where(accept, d_aln, 0.0),
+                                  d_lik + jnp.where(accept, d_depth, 0.0))
+
+    state, liks, _plato, _it = jax.lax.while_loop(
+        cond, body, ((assgn, depth), (aln_lik, depth_lik),
+                     jnp.int32(0), jnp.int32(0)))
+    assgn, depth = state
+    w_fin = jnp.take_along_axis(wins, assgn[:, None, None].repeat(2, 2), 1)[:, 0]
+    depth_fin = jnp.zeros(W, jnp.int32).at[w_fin.reshape(-1)].add(1)
+    aln_fin = jnp.sum(jnp.take_along_axis(probs, assgn[:, None], 1))
+    depth_fin_lik = jnp.sum(_depth_lik_terms(bayes, win_gc, win_weight,
+                                             depth_fin))
+    return dc * depth_fin_lik + ac * aln_fin, assgn
+
+
 def _eval_genotype(key, gt, hap_prob, hap_mid, unmapped_prob, pack_nwin,
                    pack_regstart, pack_len, gc_at, weight_at, bayes,
                    cfg: SolverConfig, n_attempts: int, max_windows: int,
@@ -284,8 +401,9 @@ def _eval_genotype(key, gt, hap_prob, hap_mid, unmapped_prob, pack_nwin,
             cfg.window_size, cfg.tweak, max_windows)
         wins = _read_windows(kr, gt, mids, slots, pack_nwin, pack_regstart,
                              cfg.window_size, cfg.tweak, max_windows)
-        return _chain(kc, probs, wins, vorder, vcount, nt_ixs, nt_count,
-                      bayes, win_gc, win_weight, cfg, random_init)
+        chain = _greedy_chain if cfg.greedy_sample > 0 else _chain
+        return chain(kc, probs, wins, vorder, vcount, nt_ixs, nt_count,
+                     bayes, win_gc, win_weight, cfg, random_init)
 
     keys = jax.random.split(key, n_attempts)
     liks, assgns = jax.vmap(one_attempt)(keys)

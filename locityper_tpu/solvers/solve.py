@@ -57,6 +57,10 @@ class Stage:
     engine: str = "auto"
     batched_steps: int = 1000
     batched_anneal: int = 500
+    # Reference-greedy knobs (stoch.rs:36-145; the seq engine implements
+    # them exactly, the pallas/batched engines run the polish-walk instead).
+    sample: int = 10
+    plato: int = 100
 
     @classmethod
     def parse(cls, s: str) -> "Stage":
@@ -80,6 +84,9 @@ class Stage:
                     st.anneal_steps = _parse_size(v)
                 elif k in ("p", "plato"):
                     st.polish_steps = _parse_size(v)
+                    st.plato = _parse_size(v)
+                elif k in ("s", "sample"):
+                    st.sample = _parse_size(v)
                 elif k in ("e", "engine"):
                     st.engine = v.strip()
                 elif k in ("b", "bsteps"):
@@ -344,6 +351,10 @@ def solve_locus(tensors: LocusTensors, pack: ContigInfoPack, bg_distr,
             logger.info("    Skipping stage %d, not enough genotypes", s_ix + 1)
             continue
         t0 = time.monotonic()
+        random_init = stage.kind == "anneal"
+        engine = stage.engine
+        if engine == "auto":
+            engine = "pallas" if jax.default_backend() != "cpu" else "seq"
         cfg = SolverConfig(
             anneal_steps=stage.anneal_steps,
             polish_steps=stage.polish_steps,
@@ -353,11 +364,14 @@ def solve_locus(tensors: LocusTensors, pack: ContigInfoPack, bg_distr,
             tweak=int(params.tweak or 0),
             window_size=pack.window_size,
             anneal_steps_b=stage.batched_anneal,
+            # Reference-greedy (sample-best + plateau) in the seq engine;
+            # pallas/batched greedy stages keep the fixed-length polish
+            # walk (same optimum on the ILP oracle, different search).
+            greedy_sample=(stage.sample
+                           if stage.kind == "greedy" and engine == "seq"
+                           else 0),
+            plato_size=stage.plato,
         )
-        random_init = stage.kind == "anneal"
-        engine = stage.engine
-        if engine == "auto":
-            engine = "pallas" if jax.default_backend() != "cpu" else "seq"
         if engine == "pallas":
             from ..ops.solver_pallas import solve_genotypes_pallas
 

@@ -101,3 +101,53 @@ class TestBatchedSolver:
         assert best == pytest.approx(ilp_lik, abs=0.05), \
             f"batched {best} vs ILP {ilp_lik}"
         assert best <= ilp_lik + 0.05
+
+
+class TestReferenceGreedy:
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_greedy_reaches_ilp_optimum(self, seed):
+        """The reference-greedy chain (sample-best + plateau,
+        stoch.rs:36-145) must reach the exact ILP optimum on small
+        problems, starting from the best assignment."""
+        tensors, pack, bayes, params = small_problem(seed)
+        gt = (0, 2)
+        _, ilp_lik = solve_ilp(gt, tensors, pack, bayes, params)
+        cfg = SolverConfig(anneal_steps=0, polish_steps=0,
+                           depth_contrib=params.depth_contrib,
+                           aln_contrib=params.aln_contrib,
+                           prob_diff=params.prob_diff,
+                           tweak=0, window_size=pack.window_size,
+                           greedy_sample=10, plato_size=100)
+        liks, assgns = solve_genotypes(
+            jax.random.PRNGKey(seed), np.array([gt], np.int32),
+            tensors.hap_prob, tensors.hap_mid, tensors.unmapped_prob,
+            pack.n_windows, pack.reg_start, pack.contig_len, pack.gc_at,
+            pack.weight_at, bayes, cfg, n_attempts=4,
+            max_windows=pack.max_windows, random_init=False)
+        best = float(np.max(np.asarray(liks)))
+        assert best == pytest.approx(ilp_lik, abs=0.05), \
+            f"greedy {best} vs ILP {ilp_lik}"
+        assert best <= ilp_lik + 0.05
+
+    def test_plateau_terminates(self):
+        """A trivial problem (every read has one candidate) must terminate
+        via the plateau rule, not the iteration cap."""
+        import time
+        tensors, pack, bayes, params = small_problem(3)
+        gt = (0, 1)
+        cfg = SolverConfig(anneal_steps=0, polish_steps=0,
+                           depth_contrib=params.depth_contrib,
+                           aln_contrib=params.aln_contrib,
+                           prob_diff=params.prob_diff,
+                           tweak=0, window_size=pack.window_size,
+                           greedy_sample=10, plato_size=50)
+        t0 = time.time()
+        liks, _ = solve_genotypes(
+            jax.random.PRNGKey(0), np.array([gt], np.int32),
+            tensors.hap_prob, tensors.hap_mid, tensors.unmapped_prob,
+            pack.n_windows, pack.reg_start, pack.contig_len, pack.gc_at,
+            pack.weight_at, bayes, cfg, n_attempts=2,
+            max_windows=pack.max_windows, random_init=False)
+        np.asarray(liks)
+        assert np.isfinite(np.asarray(liks)).all()
+        assert time.time() - t0 < 120     # plateau, not the 100k cap
