@@ -222,6 +222,33 @@ def _bgzf_block(payload: bytes) -> bytes:
     return head + body + tail
 
 
+class BgzfWriter:
+    """Generic BGZF text/bytes writer (tabix/bcftools-compatible .gz)."""
+
+    def __init__(self, path):
+        self._f = open(path, "wb")
+        self._buf = bytearray()
+
+    def write(self, data) -> None:
+        self._buf += data.encode() if isinstance(data, str) else data
+        while len(self._buf) >= 60000:
+            self._f.write(_bgzf_block(bytes(self._buf[:60000])))
+            del self._buf[:60000]
+
+    def close(self) -> None:
+        if self._buf:
+            self._f.write(_bgzf_block(bytes(self._buf)))
+            self._buf.clear()
+        self._f.write(_BGZF_EOF)
+        self._f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        self.close()
+
+
 class BamWriter:
     def __init__(self, path, ref_names, ref_lens):
         self._f = open(path, "wb")
