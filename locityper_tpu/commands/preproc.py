@@ -242,6 +242,52 @@ def _recruit_bg_reads(args, genome, chrom, start, end, counter, tech):
     return reads1, reads2, padded, rate
 
 
+def _fetch_bg_reads(args, genome, chrom, start, end):
+    """Indexed-BAM path (preproc.rs:1180-1202): fetch the reads overlapping
+    the padded background region directly instead of scanning the whole
+    input; no recruitment needed (the fetch IS region restriction).
+    Returns (reads1, reads2, padded_region) or None when not applicable."""
+    if not (args.input and len(args.input) == 1
+            and str(args.input[0]).endswith(".bam")
+            and Path(str(args.input[0]) + ".bai").exists()):
+        return None
+    from ..seq import bai as baio
+    seq = genome[chrom]
+    pad_lo = max(start - BG_PADDING, 0)
+    pad_hi = min(end + BG_PADDING, seq.size)
+    idx = baio.BaiIndex.load(str(args.input[0]) + ".bai")
+    with open(args.input[0], "rb") as fh:
+        names, _ = baio.read_header(baio.VirtualReader(fh))
+    try:
+        rid = names.index(chrom)
+    except ValueError:
+        return None
+    pending = {}
+    reads1, reads2 = [], []
+    n_single = 0
+    for rec in baio.fetch(args.input[0], idx, rid, pad_lo, pad_hi):
+        if not rec.is_paired:
+            reads1.append(rec.seq)
+            n_single += 1
+            continue
+        other = pending.pop(rec.name, None)
+        if other is None:
+            pending[rec.name] = rec
+            continue
+        r1, r2 = (rec, other) if rec.mate_ix == 0 else (other, rec)
+        reads1.append(r1.seq)
+        reads2.append(r2.seq)
+    if n_single and reads2:
+        # keep the majority type; estimation needs a consistent layout
+        if n_single > len(reads2):
+            reads2 = []
+    logger.info("Indexed input: fetched %d read(pair)s overlapping the "
+                "background region (no full scan)", len(reads1))
+    if not reads1:
+        return None
+    return reads1, reads2, seq[pad_lo:pad_hi]
+
+
 def run(args):
     if args.describe:
         return describe(args)
@@ -265,10 +311,22 @@ def run(args):
     counter.finalize()
 
     rate = 1.0
+    fetched = None if args.skip_recruitment else _fetch_bg_reads(
+        args, genome, chrom, start, end)
     if args.skip_recruitment:
         reads1, reads2 = _load_head(args)
         logger.info("Loaded %d reads%s (recruitment skipped)", len(reads1),
                     " (paired)" if reads2 else "")
+    elif fetched is not None:
+        reads1, reads2, region = fetched
+        if len(reads1) > args.max_reads:
+            rng = np.random.default_rng(0)
+            sel = np.sort(rng.choice(len(reads1), args.max_reads,
+                                     replace=False))
+            rate = args.max_reads / len(reads1)
+            reads1 = [reads1[i] for i in sel]
+            if reads2:
+                reads2 = [reads2[i] for i in sel]
     else:
         reads1, reads2, region, rate = _recruit_bg_reads(
             args, genome, chrom, start, end, counter, tech)

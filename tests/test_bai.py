@@ -181,3 +181,44 @@ def test_genotype_cli_indexed_fetch(tmp_path, caplog):
     called = sorted(res["genotype"].split(","))
     truth = sorted(locus.hap_names[i] for i in locus.true_genotype)
     assert called == truth
+
+
+def test_preproc_indexed_fetch(tmp_path, caplog):
+    """preproc on a sorted+indexed BAM fetches the bg region instead of
+    scanning the whole input (preproc.rs:1180-1202)."""
+    import logging
+
+    from locityper_tpu import cli, sim
+    from locityper_tpu.seq import fastx
+
+    rng = np.random.default_rng(7)
+    genome = sim.random_genome(rng, 60_000)
+    with open(tmp_path / "ref.fa", "w") as f:
+        fastx.write_fasta(f, "chr1", genome)
+    err = sim.ErrorModel(0.002, 0.0002, 0.0002)
+    r = sim.simulate_paired_reads(rng, [genome, genome], depth=10.0,
+                                  read_len=150, errors=err)
+    # Place each pair at its true position (name encodes nothing; just
+    # sort all records by position).
+    flat = []
+    for i, (c1, c2) in enumerate(zip(r.reads1, r.reads2)):
+        pos = int(rng.integers(0, genome.size - 500))
+        flat.append((pos, f"p{i}", bam.FLAG_PAIRED | bam.FLAG_MATE1, c1))
+        flat.append((pos + 250, f"p{i}", bam.FLAG_PAIRED | bam.FLAG_MATE2,
+                     c2))
+    flat.sort(key=lambda t: t[0])
+    bam_path = tmp_path / "s.bam"
+    with bam.BamWriter(bam_path, ["chr1"], [genome.size]) as w:
+        for pos, name, flag, c in flat:
+            w.write(name, flag, c, ref_id=0, pos=pos)
+    bai.build_bai(bam_path)
+
+    with caplog.at_level(logging.INFO, logger="locityper"):
+        rc = cli.main(["preproc", "-i", str(bam_path),
+                       "-r", str(tmp_path / "ref.fa"),
+                       "-o", str(tmp_path / "bg"),
+                       "-b", "chr1:5001-55000"])
+    assert rc == 0
+    assert any("Indexed input" in r.message for r in caplog.records)
+    assert (tmp_path / "bg" / "bg" / "distr.json.gz").exists() or \
+        list((tmp_path / "bg").rglob("*.json.gz"))
