@@ -600,7 +600,11 @@ def _run(args):
     tech = bg.seq_info.technology
     _check_params_staleness(args, out, rerun)
 
-    locus_names = args.loci if args.loci else list_loci(db)
+    # Multi-host: loci shard round-robin across processes (no DCN traffic;
+    # parallel/multihost.py); chips within a host shard via the mesh.
+    from ..parallel.multihost import maybe_init_distributed, shard_loci
+    maybe_init_distributed()
+    locus_names = shard_loci(args.loci if args.loci else list_loci(db))
     loci = {}
     todo = []
     for name in locus_names:

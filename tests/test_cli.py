@@ -555,3 +555,16 @@ class TestParamsStaleness:
         # --rerun all starts clean and adopts the new params.
         assert cli.main(base + ["--skew", "0.7", "--rerun", "all"]) == 0
         assert cli.main(base + ["--skew", "0.7"]) == 0
+
+
+class TestMultihost:
+    def test_shard_loci_single_process(self):
+        from locityper_tpu.parallel.multihost import shard_loci
+        assert shard_loci(["a", "b", "c"]) == ["a", "b", "c"]
+
+    def test_shard_loci_partitions(self, monkeypatch):
+        import jax
+        from locityper_tpu.parallel import multihost as mh
+        monkeypatch.setattr(jax, "process_count", lambda: 3)
+        monkeypatch.setattr(jax, "process_index", lambda: 1)
+        assert mh.shard_loci(list("abcdefg")) == ["b", "e"]
