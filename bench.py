@@ -109,9 +109,11 @@ def bench_e2e(n_loci=4, n_haps=6, locus_len=4000, depth=15.0):
         rec, _speed = recruit_reads(
             data, ((n, a, b) for n, a, b in zip(names, reads1, reads2)),
             rp, seed=seed)
+        t1 = time.perf_counter()
         panel = [(rec[l.name][0], rec[l.name][1], data[l.name].contig_set,
                   data[l.name].kmer_counts) for l in loci]
         built = build_all_alignments_panel(panel, bg, edit_cache, params)
+        t2 = time.perf_counter()
         calls = []
         for i, locus in enumerate(loci):
             pairs, nms = rec[locus.name]
@@ -120,8 +122,10 @@ def bench_e2e(n_loci=4, n_haps=6, locus_len=4000, depth=15.0):
                 scheme=scheme, seed=seed + i, tag=locus.name,
                 prebuilt_alns=built[i])
             calls.append(tuple(sorted(result.genotypes[0])))
-        dt = time.perf_counter() - t0
-        return dt, calls
+        t3 = time.perf_counter()
+        print(f"phases: recruit={t1 - t0:.2f}s align={t2 - t1:.2f}s "
+              f"solve={t3 - t2:.2f}s", file=sys.stderr)
+        return t3 - t0, calls
 
     _dt, calls = one_pass(1)                 # warmup: compiles
     truth = [tuple(sorted(l.true_genotype)) for l in loci]

@@ -449,14 +449,62 @@ def run_align_batches(reads, lens, wins, score_vec, band,
         if mesh is not None:
             from ..parallel.mesh import sharded_align
             res = sharded_align(mesh, r, ln, w, score_vec, band=band)
+            pending.append((res, n, False))
         else:
-            res = A.align_batch_auto(r, ln, w, score_vec, band=band)
-        pending.append((res, n))
+            import jax
+            # Explicit H2D: implicit numpy->jit transfers take a slow
+            # per-call path on relay-attached chips (BENCH_NOTES round 2).
+            res = A.align_batch_auto(jax.device_put(r), jax.device_put(ln),
+                                     jax.device_put(w), score_vec, band=band)
+            # Pack the 8 result vectors into ONE device buffer: each D2H
+            # fetch costs a full relay round-trip (~40 ms) regardless of
+            # size, so fetch once per phase, not 8x per batch.
+            pending.append((_pack_align_results(res), n, True))
+    packed = [p for p, _n, is_packed in pending if is_packed]
+    if packed:
+        import jax.numpy as jnp
+        host = np.asarray(jnp.concatenate(packed, axis=1))   # one D2H
     out: dict = {}
-    for res, n in pending:                    # np.asarray syncs here
+    off = 0
+    for res, n, is_packed in pending:
+        if is_packed:
+            N = res.shape[1]
+            res = _unpack_align_results(host[:, off:off + N])
+            off += N
         for k, v in res.items():
             out.setdefault(k, []).append(np.asarray(v)[:n])
     return {k: np.concatenate(v) for k, v in out.items()}
+
+
+_ALIGN_KEYS = ("score", "start_p", "end_p", "n_mism", "n_ins", "n_del",
+               "n_clip", "valid")
+
+
+def _pack_align_results(res: dict):
+    """[8, N] int32 device view of the aligner outputs (score bitcast)."""
+    import jax
+    import jax.numpy as jnp
+    rows = []
+    for k in _ALIGN_KEYS:
+        v = res[k]
+        if v.dtype == jnp.float32:
+            v = jax.lax.bitcast_convert_type(v, jnp.int32)
+        else:
+            v = v.astype(jnp.int32)
+        rows.append(v)
+    return jnp.stack(rows)
+
+
+def _unpack_align_results(arr: np.ndarray) -> dict:
+    out = {}
+    for i, k in enumerate(_ALIGN_KEYS):
+        v = arr[i]
+        if k == "score":
+            v = v.view(np.float32)
+        elif k == "valid":
+            v = v.astype(bool)
+        out[k] = v
+    return out
 
 
 def _finish_align(res: dict, meta, lens) -> MateAlnTable:
