@@ -331,6 +331,17 @@ def recruit_reads(loci: dict, read_iter, recruit_params: RecruitParams,
             names.append(name)
         progress.add(len(buf), int(hits.any(axis=1).sum()))
 
+    def _fill(seqs, B, L):
+        """Vectorized [B, L] padded matrix from a sequence list (mask
+        assignment; no per-read Python loop)."""
+        m = np.full((B, L), 4, np.int8)
+        lens = np.fromiter((min(c.size, L) for c in seqs), np.int64,
+                           len(seqs))
+        mask = np.arange(L)[None, :] < lens[:, None]
+        m[:len(seqs)][mask] = np.concatenate(
+            [c[:L] for c in seqs]) if seqs else np.empty(0, np.int8)
+        return m
+
     def flush_pairs(buf):
         if not buf:
             return
@@ -338,11 +349,8 @@ def recruit_reads(loci: dict, read_iter, recruit_params: RecruitParams,
         L = max(max(c1.size, c2.size) for _, c1, c2 in buf)
         L = -(-L // 64) * 64
         B = batch  # fixed batch shape; short flushes are padded
-        m1 = np.full((B, L), 4, np.int8)
-        m2 = np.full((B, L), 4, np.int8)
-        for i, (_, c1, c2) in enumerate(buf):
-            m1[i, :c1.size] = c1[:L]
-            m2[i, :c2.size] = c2[:L]
+        m1 = _fill([c1 for _, c1, _ in buf], B, L)
+        m2 = _fill([c2 for _, _, c2 in buf], B, L)
         pending.append((list(buf), run_pairs_async(get_dev(), m1, m2), True))
         buf.clear()
         resolve_pending()
@@ -353,9 +361,7 @@ def recruit_reads(loci: dict, read_iter, recruit_params: RecruitParams,
         from ..ops.recruit import run_short_async
         L = max(c1.size for _, c1, _ in buf)
         L = -(-L // 64) * 64
-        m1 = np.full((batch, L), 4, np.int8)
-        for i, (_, c1, _) in enumerate(buf):
-            m1[i, :c1.size] = c1[:L]
+        m1 = _fill([c1 for _, c1, _ in buf], batch, L)
         pending.append((list(buf), run_short_async(get_dev(), m1), False))
         buf.clear()
         resolve_pending()

@@ -117,23 +117,32 @@ def _canonical_hashes(reads, k: int):
 
 
 def _minimizer_mask(h, w: int):
-    """[B, P] bool: position is a window first-argmin with a defined hash."""
+    """[B, P] bool: position is a window first-argmin with a defined hash.
+
+    Scatter-free formulation (TPU scatters are slow): position p is
+    selected by SOME window iff a' + b' >= w-1, where a' = number of
+    consecutive left neighbours with strictly greater hash (ties break to
+    the first index) and b' = consecutive right neighbours with
+    greater-or-equal hash, both capped by the array edges and w-1.
+    Bit-identical to the scatter/argmin formulation (test_recruit.py)."""
     B, P = h.shape
-    W = P - w + 1
-    if W <= 0:
+    if P - w + 1 <= 0:
         return jnp.zeros_like(h, bool)
-    best_v = jax.lax.dynamic_slice_in_dim(h, 0, W, axis=1)
-    best_p = jnp.zeros((B, W), jnp.int32)
-    for j in range(1, w):
-        vj = jax.lax.dynamic_slice_in_dim(h, j, W, axis=1)
-        take = vj < best_v
-        best_v = jnp.where(take, vj, best_v)
-        best_p = jnp.where(take, j, best_p)
-    abs_p = best_p + jnp.arange(W, dtype=jnp.int32)[None, :]
-    defined = best_v != UNDEF32
-    mask = jnp.zeros((B, P), bool)
-    mask = mask.at[jnp.arange(B)[:, None], abs_p].max(defined)
-    return mask
+    a = jnp.zeros((B, P), jnp.int32)
+    b = jnp.zeros((B, P), jnp.int32)
+    lmin = None
+    rmin = None
+    for i in range(1, w):
+        sh_l = jnp.roll(h, i, axis=1).at[:, :i].set(UNDEF32)
+        lmin = sh_l if lmin is None else jnp.minimum(lmin, sh_l)
+        a = a + (lmin > h)
+        sh_r = jnp.roll(h, -i, axis=1).at[:, P - i:].set(UNDEF32)
+        rmin = sh_r if rmin is None else jnp.minimum(rmin, sh_r)
+        b = b + (rmin >= h)
+    pos = jnp.arange(P, dtype=jnp.int32)[None, :]
+    a = jnp.minimum(a, pos)
+    b = jnp.minimum(b, P - 1 - pos)
+    return (a + b >= w - 1) & (h != UNDEF32)
 
 
 def _mate_counters(reads, cfg: _Cfg, keys, fw_mask, bw_mask, rare_mask):
@@ -221,9 +230,13 @@ def recruit_short_batch(cfg, reads, keys, fw_mask, bw_mask, rare_mask):
 def recruit_pairs_batch(cfg, reads1, reads2, keys, fw_mask, bw_mask,
                         rare_mask):
     """[B, n_loci] bool decisions for read pairs (strand-consistent joint
-    orientation, both mates must pass; recruit.rs:885-932)."""
-    c1, t1 = _mate_counters(reads1, cfg, keys, fw_mask, bw_mask, rare_mask)
-    c2, t2 = _mate_counters(reads2, cfg, keys, fw_mask, bw_mask, rare_mask)
+    orientation, both mates must pass; recruit.rs:885-932).  Both mates run
+    as ONE [2B, L] counter pass (halves the fixed per-pass cost)."""
+    B = reads1.shape[0]
+    both = jnp.concatenate([reads1, reads2], axis=0)
+    c, t = _mate_counters(both, cfg, keys, fw_mask, bw_mask, rare_mask)
+    c1, c2 = c[:B], c[B:]
+    t1, t2 = t[:B], t[B:]
     fw_n1, bw_n1, fw_d1, bw_d1, rare1 = _numer_denoms(c1, t1)
     fw_n2, bw_n2, fw_d2, bw_d2, rare2 = _numer_denoms(c2, t2)
     use_fw1 = fw_n1 + bw_n2 >= bw_n1 + fw_n2
