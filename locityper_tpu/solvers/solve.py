@@ -206,6 +206,27 @@ def run_filter(genotypes: np.ndarray, priors: np.ndarray,
     return select_by_scores(scores, filt_diff, out_size)
 
 
+_PACK_CACHE = {}
+
+
+def _pack_solver_out(liks, assgns):
+    """[G, A, 1+R] int32 device buffer holding f32-bitcast likelihoods and
+    assignments: one D2H instead of two."""
+    import jax
+    import jax.numpy as jnp
+
+    fn = _PACK_CACHE.get("fn")
+    if fn is None:
+        @jax.jit
+        def fn(liks_, assgns_):
+            l32 = jax.lax.bitcast_convert_type(liks_.astype(jnp.float32),
+                                               jnp.int32)
+            return jnp.concatenate(
+                [l32[..., None], assgns_.astype(jnp.int32)], axis=-1)
+        _PACK_CACHE["fn"] = fn
+    return fn(liks, assgns)
+
+
 def select_by_scores(scores: np.ndarray, filt_diff: float,
                      out_size: int) -> np.ndarray:
     """Selection half of the stage-0 filter: keep genotypes within
@@ -420,10 +441,13 @@ def solve_locus(tensors: LocusTensors, pack: ContigInfoPack, bg_distr,
                                                     stage_key, gts)
             else:
                 liks, assgns = run_solver(stage_key, gts)
-            liks = np.asarray(liks, dtype=np.float64)
+            # One D2H for both outputs (each fetch costs a flat relay
+            # round-trip — BENCH_NOTES round 2).
+            host = np.asarray(_pack_solver_out(liks, assgns))
+            liks = host[..., 0].view(np.float32).astype(np.float64)
             final_stage = out_size is None
             if final_stage:
-                assgns = np.asarray(assgns)
+                assgns = host[..., 1:]
                 if engine == "pallas":
                     # Pallas assignments live in the valid-first permuted
                     # slot space; map back to original candidate slots.
