@@ -104,6 +104,8 @@ def bench_e2e(n_loci=4, n_haps=6, locus_len=4000, depth=15.0):
     rp = RecruitParams(match_frac=tech.default_match_frac(True))
     scheme = Scheme.parse(["greedy:i=5k,a=1", "anneal:i=8,a=8,n=3000,p=2000"])
 
+    from locityper_tpu.pipeline import genotype_panel
+
     def one_pass(seed):
         t0 = time.perf_counter()
         rec, _speed = recruit_reads(
@@ -114,14 +116,12 @@ def bench_e2e(n_loci=4, n_haps=6, locus_len=4000, depth=15.0):
                   data[l.name].kmer_counts) for l in loci]
         built = build_all_alignments_panel(panel, bg, edit_cache, params)
         t2 = time.perf_counter()
-        calls = []
-        for i, locus in enumerate(loci):
-            pairs, nms = rec[locus.name]
-            result, _ = genotype_locus(
-                data[locus.name], pairs, nms, bg, params=params,
-                scheme=scheme, seed=seed + i, tag=locus.name,
-                prebuilt_alns=built[i])
-            calls.append(tuple(sorted(result.genotypes[0])))
+        entries = [dict(locus=data[l.name], read_pairs=rec[l.name][0],
+                        names=rec[l.name][1], tag=l.name, prebuilt=built[i])
+                   for i, l in enumerate(loci)]
+        solved = genotype_panel(entries, bg, params=params, scheme=scheme,
+                                seed=seed)
+        calls = [tuple(sorted(res.genotypes[0])) for res, _ in solved]
         t3 = time.perf_counter()
         print(f"phases: recruit={t1 - t0:.2f}s align={t2 - t1:.2f}s "
               f"solve={t3 - t2:.2f}s", file=sys.stderr)

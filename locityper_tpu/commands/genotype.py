@@ -751,11 +751,7 @@ def _run(args):
             logger.exception("panel-batched alignment failed; falling back "
                              "to per-locus alignment")
 
-    failures = 0
-    for li, name in enumerate(todo):
-        pairs, names = recruited[name]
-        ldir = out / paths.LOCI_DIR / name
-        logger.info("[%s] %d recruited read(pair)s", name, len(pairs))
+    def _locus_extras(name):
         explicit = None
         if name in weight_files:
             from ..model.windows import ExplicitWeights
@@ -767,19 +763,62 @@ def _run(args):
             for gt_str, lp in all_priors[name].items():
                 ids = tuple(sorted(cn.id_of(h) for h in gt_str.split(",")))
                 locus_priors[ids] = lp
-        try:
-            result, stats = genotype_locus(
-                loci[name], pairs, names, bg, params=params, scheme=scheme,
-                seed=args.seed + li, tag=name, ploidy=args.ploidy,
-                priors=locus_priors, explicit_weights=explicit,
-                sam_dir=(ldir / paths.ALNS_OUT_DIR) if args.out_sams else None,
+        return explicit, locus_priors
+
+    # Cross-locus batched solving: every stage runs one device program for
+    # the whole panel (solvers/solve.py:solve_panel — the annealer is
+    # latency-bound at per-locus genotype counts).  Falls back to the
+    # per-locus loop on any panel failure.
+    panel_results = {}
+    if len(todo) > 1 and all(n in panel_alns for n in todo):
+        from ..pipeline import genotype_panel
+        entries = []
+        for name in todo:
+            pairs, names = recruited[name]
+            ldir = out / paths.LOCI_DIR / name
+            logger.info("[%s] %d recruited read(pair)s", name, len(pairs))
+            explicit, locus_priors = _locus_extras(name)
+            entries.append(dict(
+                locus=loci[name], read_pairs=pairs, names=names, tag=name,
+                prebuilt=panel_alns[name], priors=locus_priors,
+                explicit_weights=explicit,
+                sam_dir=(ldir / paths.ALNS_OUT_DIR) if args.out_sams
+                else None,
                 sol_path=(ldir / paths.SOL_CSV) if args.debug else None,
-                debug=args.debug, out_dir=ldir,
-                prebuilt_alns=panel_alns.get(name))
+                debug=args.debug, out_dir=ldir))
+        try:
+            solved = genotype_panel(entries, bg, params=params,
+                                    scheme=scheme, seed=args.seed,
+                                    ploidy=args.ploidy)
+            panel_results = dict(zip(todo, solved))
         except Exception:
-            logger.exception("[%s] genotyping failed", name)
-            failures += 1
-            continue
+            logger.exception("panel-batched solving failed; falling back "
+                             "to per-locus solving")
+
+    failures = 0
+    for li, name in enumerate(todo):
+        pairs, names = recruited[name]
+        ldir = out / paths.LOCI_DIR / name
+        if name in panel_results:
+            result, stats = panel_results[name]
+        else:
+            logger.info("[%s] %d recruited read(pair)s", name, len(pairs))
+            explicit, locus_priors = _locus_extras(name)
+            try:
+                result, stats = genotype_locus(
+                    loci[name], pairs, names, bg, params=params,
+                    scheme=scheme, seed=args.seed + li, tag=name,
+                    ploidy=args.ploidy, priors=locus_priors,
+                    explicit_weights=explicit,
+                    sam_dir=(ldir / paths.ALNS_OUT_DIR) if args.out_sams
+                    else None,
+                    sol_path=(ldir / paths.SOL_CSV) if args.debug else None,
+                    debug=args.debug, out_dir=ldir,
+                    prebuilt_alns=panel_alns.get(name))
+            except Exception:
+                logger.exception("[%s] genotyping failed", name)
+                failures += 1
+                continue
         with gzip.open(ldir / paths.RES_JSON, "wt") as f:
             json.dump(result.to_json(loci[name].contig_set.contigs.names), f,
                       indent=1)

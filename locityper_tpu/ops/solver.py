@@ -66,10 +66,16 @@ class SolverConfig:
 
 def _gather_candidates(hap_prob, hap_mid, unmapped_prob, gt, prob_diff):
     """Candidates of genotype gt = (h1, h2): [R, K = 2·Kh + 1] arrays.
-    Last slot is the both-unmapped state (windows.rs:762-797)."""
+    Last slot is the both-unmapped state (windows.rs:762-797).
+
+    unmapped_prob: [R], or [H, R] per-haplotype rows (multi-locus panel
+    solving shares the read axis across loci; each locus's haplotype rows
+    carry its own unmapped penalties — solvers/solve.py:solve_panel)."""
     h1, h2 = gt[0], gt[1]
     p1, p2 = hap_prob[h1], hap_prob[h2]            # [R, Kh]
     m1, m2 = hap_mid[h1], hap_mid[h2]              # [R, Kh, 2]
+    if unmapped_prob.ndim == 2:
+        unmapped_prob = unmapped_prob[h1]
     R = p1.shape[0]
     probs = jnp.concatenate([p1, p2, unmapped_prob[:, None]], axis=1)
     mids = jnp.concatenate([m1, m2, jnp.full((R, 1, 2), -1, m1.dtype)], axis=1)
@@ -77,7 +83,8 @@ def _gather_candidates(hap_prob, hap_mid, unmapped_prob, gt, prob_diff):
         jnp.zeros_like(p1, jnp.int32), jnp.ones_like(p2, jnp.int32),
         jnp.full((R, 1), 0, jnp.int32)], axis=1)
     # Threshold: max(unmapped, best per hap) - prob_diff.
-    best = jnp.maximum(jnp.maximum(jnp.max(p1, 1), jnp.max(p2, 1)), unmapped_prob)
+    best = jnp.maximum(jnp.maximum(jnp.max(p1, 1), jnp.max(p2, 1)),
+                       unmapped_prob)
     thresh = best - prob_diff
     valid = probs >= thresh[:, None]
     # The unmapped candidate stays valid as a fallback if nothing else is.

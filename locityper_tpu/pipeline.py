@@ -80,6 +80,39 @@ def genotype_locus(locus: LocusData, read_pairs, names, bg: BgDistr,
                           predictions=[], quality=0.0, total_reads=0,
                           warnings=["NoReads"]), stats
 
+    prep = _prepare_solve_inputs(locus, all_alns, bg, params, ploidy,
+                                 priors, explicit_weights, debug, out_dir)
+    scheme = scheme or Scheme.default()
+    key = jax.random.PRNGKey(seed)
+    sol_writer = None
+    gt_names = None
+    if sol_path is not None:
+        from .utils.io import smart_create
+        sol_writer = smart_create(sol_path)
+        sol_writer.write("stage\tgenotype\tscore\n")
+        gt_names = prep["gt_names"]
+    try:
+        result = solve_locus(prep["tensors"], prep["pack"], bg,
+                             prep["genotypes"], prep["priors"], params,
+                             scheme, key, tag=tag,
+                             dist_matrix=locus.dist_matrix,
+                             sol_writer=sol_writer, gt_names=gt_names,
+                             mesh=mesh)
+    finally:
+        if sol_writer is not None:
+            sol_writer.close()
+    _finalize_locus(result, locus, all_alns, prep["tensors"], bg, params,
+                    ploidy, read_pairs, sam_dir)
+    return result, stats
+
+
+def _prepare_solve_inputs(locus: LocusData, all_alns, bg: BgDistr,
+                          params: Params, ploidy: int, priors,
+                          explicit_weights, debug: int, out_dir) -> dict:
+    """Shared pre-solve assembly: window infos, packed tensors, genotype
+    enumeration, prior vector (genotype.rs analyze_locus :1110-1150)."""
+    window_size = bg.depth.window_size
+    neighb_size = bg.depth.neighb_size
     infos = build_contig_infos(locus.contig_set, locus.kmer_counts,
                                window_size, neighb_size, params,
                                explicit=explicit_weights)
@@ -89,7 +122,6 @@ def genotype_locus(locus: LocusData, read_pairs, names, bg: BgDistr,
         _write_read_pairs_csv(out_dir, locus.contig_set, all_alns)
     pack = ContigInfoPack.pack(infos)
     tensors = LocusTensors.build(all_alns)
-
     n_haps = len(locus.contig_set.seqs)
     gts = Genotype.generate_all(n_haps, ploidy)
     genotypes = np.array([g.ids for g in gts], np.int32)
@@ -97,34 +129,28 @@ def genotype_locus(locus: LocusData, read_pairs, names, bg: BgDistr,
     if priors:
         for i, g in enumerate(gts):
             prior_vec[i] = priors.get(g.ids, 0.0)
+    hnames = locus.contig_set.contigs.names
+    gt_names = [",".join(hnames[h] for h in g.ids) for g in gts]
+    return dict(tensors=tensors, pack=pack, genotypes=genotypes,
+                priors=prior_vec, gt_names=gt_names)
 
-    scheme = scheme or Scheme.default()
-    key = jax.random.PRNGKey(seed)
-    sol_writer = None
-    gt_names = None
-    if sol_path is not None:
-        from .utils.io import smart_create
-        sol_writer = smart_create(sol_path)
-        sol_writer.write("stage\tgenotype\tscore\n")
-        hnames = locus.contig_set.contigs.names
-        gt_names = [",".join(hnames[h] for h in g.ids) for g in gts]
-    try:
-        result = solve_locus(tensors, pack, bg, genotypes, prior_vec, params,
-                             scheme, key, tag=tag,
-                             dist_matrix=locus.dist_matrix,
-                             sol_writer=sol_writer, gt_names=gt_names,
-                             mesh=mesh)
-    finally:
-        if sol_writer is not None:
-            sol_writer.close()
+
+def _finalize_locus(result, locus: LocusData, all_alns, tensors, bg: BgDistr,
+                    params: Params, ploidy: int, read_pairs,
+                    sam_dir) -> None:
+    """Shared post-solve steps: unexplained-read count, warnings, SAM
+    output (solve.rs:636-716, model/bam.rs)."""
+    if not result.genotypes:
+        return
     # Unexplained reads (solve.rs:706-716).
     best_gt = result.genotypes[0]
     n_real = tensors.n_reads
     best_per_read = np.maximum(
         tensors.hap_prob[best_gt[0], :n_real].max(axis=1),
         tensors.hap_prob[best_gt[1], :n_real].max(axis=1))
-    result.unexpl_reads = int(np.sum(best_per_read <
-                                     tensors.unmapped_prob[:n_real] + 1e-8))
+    unm = (tensors.unmapped_prob if tensors.unmapped_prob.ndim == 1
+           else tensors.unmapped_prob[best_gt[0]])
+    result.unexpl_reads = int(np.sum(best_per_read < unm[:n_real] + 1e-8))
     if result.ln_probs.size and (np.isnan(result.ln_probs[0])
                                  or result.ln_probs[0] < -2.0 * np.log(10.0)):
         result.warnings.append("NoProbableGenotype")
@@ -158,7 +184,86 @@ def genotype_locus(locus: LocusData, read_pairs, names, bg: BgDistr,
                       read_pairs=read_pairs,
                       hap_seqs=locus.contig_set.seqs, score_vec=score_vec,
                       band=params.band)
-    return result, stats
+
+
+def genotype_panel(entries: list, bg: BgDistr, params: Params | None = None,
+                   scheme: Scheme | None = None, seed: int = 1,
+                   ploidy: int = 2, mesh="auto") -> list:
+    """Genotypes a PANEL of loci with solver stages batched across loci in
+    one device program per stage (solvers/solve.py:solve_panel — the
+    annealer is latency-bound at small per-locus genotype counts, so
+    chains from every locus share the same sequential steps).
+
+    entries: list of dicts with keys
+        locus (LocusData), read_pairs, names, tag, prebuilt (AllAlignments,
+        stats), and optionally priors, explicit_weights, sam_dir, sol_path,
+        debug, out_dir.
+    Returns list of (Genotyping, stats) in entry order.  Calls match
+    per-locus `genotype_locus` (tests/test_panel.py).
+    """
+    import jax
+
+    from .solvers.solve import PanelItem, solve_panel
+
+    if mesh == "auto":
+        from .parallel.mesh import auto_mesh
+        mesh = auto_mesh()
+    params = params or Params()
+    scheme = scheme or Scheme.default()
+    tech = bg.seq_info.technology
+    params.set_tweak_size(bg.depth.window_size)
+    if params.band is None:
+        params.band = 48 if tech.are_short_reads else 160
+
+    results: list = [None] * len(entries)
+    items, preps, live = [], [], []
+    writers = []
+    for ei, e in enumerate(entries):
+        locus = e["locus"]
+        tag = e.get("tag") or locus.contig_set.tag
+        all_alns, stats = e["prebuilt"]
+        logger.info("    [%s] %d/%d reads usable (%d poorly mapped, %d out "
+                    "of bounds, %d low weight)", tag, all_alns.n_used,
+                    stats["total"], stats["poorly_mapped"],
+                    stats["out_of_bounds"], stats["few_kmers"])
+        if not all_alns.n_used:
+            results[ei] = (Genotyping(
+                tag=tag, genotypes=[], ln_probs=np.empty(0), predictions=[],
+                quality=0.0, total_reads=0, warnings=["NoReads"]), stats)
+            continue
+        prep = _prepare_solve_inputs(
+            locus, all_alns, bg, params, ploidy, e.get("priors"),
+            e.get("explicit_weights"), e.get("debug", 0), e.get("out_dir"))
+        sol_writer = None
+        if e.get("sol_path") is not None:
+            from .utils.io import smart_create
+            sol_writer = smart_create(e["sol_path"])
+            sol_writer.write("stage\tgenotype\tscore\n")
+            writers.append(sol_writer)
+        items.append(PanelItem(
+            tensors=prep["tensors"], pack=prep["pack"],
+            genotypes=prep["genotypes"], priors=prep["priors"], tag=tag,
+            dist_matrix=locus.dist_matrix, sol_writer=sol_writer,
+            gt_names=prep["gt_names"]))
+        preps.append(prep)
+        live.append(ei)
+
+    if items:
+        try:
+            solved = solve_panel(items, bg, params, scheme,
+                                 jax.random.PRNGKey(seed), mesh=mesh)
+        finally:
+            for w in writers:
+                w.close()
+        for item_ix, ei in enumerate(live):
+            e = entries[ei]
+            result = solved[item_ix]
+            all_alns, stats = e["prebuilt"]
+            _finalize_locus(result, e["locus"], all_alns,
+                            preps[item_ix]["tensors"], bg, params, ploidy,
+                            e["read_pairs"], e.get("sam_dir"))
+            results[ei] = (result, stats)
+    return results
 
 
 def _write_windows_bed(out_dir, contig_set, infos) -> None:

@@ -133,3 +133,57 @@ def test_panel_batched_equals_per_locus(panel):
                                           err_msg=f"locus {i} field {f}")
         np.testing.assert_array_equal(single.c_prob, b_alns.c_prob)
         np.testing.assert_array_equal(single.used_mask, b_alns.used_mask)
+
+
+def test_solve_panel_matches_per_locus(panel):
+    """Cross-locus batched solving (solve_panel) must call the same
+    genotypes as per-locus genotype_locus, with near-equal likelihoods
+    (different RNG substreams; same search budget)."""
+    from locityper_tpu.bg.err_prof import EditDistCache, EditThresh
+    from locityper_tpu.model import Params
+    from locityper_tpu.model.locs import build_all_alignments_panel
+    from locityper_tpu.pipeline import genotype_panel
+
+    rng, loci, data, (r1, r2, names) = panel
+    idx = TargetIndex(RecruitParams(match_frac=0.5))
+    for d in data:
+        idx.add_locus(d.contig_set, d.kmer_counts)
+    idx.finalize()
+    per_locus = {i: ([], []) for i in range(len(loci))}
+    for a, b, name in zip(r1, r2, names):
+        for locus_ix in recruit_read_pair(idx, a, b):
+            per_locus[locus_ix][0].append((a, b))
+            per_locus[locus_ix][1].append(name)
+    bg = make_bg()
+    tech = bg.seq_info.technology
+    params = Params(unmapped_penalty=tech.default_unmapped_penalty())
+    params.set_tweak_size(bg.depth.window_size)
+    if params.band is None:
+        params.band = 48
+    edit_cache = EditDistCache(bg.err_prof, EditThresh.default_for(tech))
+    inputs = [(per_locus[i][0], per_locus[i][1], data[i].contig_set,
+               data[i].kmer_counts) for i in range(len(loci))]
+    built = build_all_alignments_panel(inputs, bg, edit_cache, params)
+    scheme = Scheme.parse(["anneal:i=6,a=6,n=2000,p=1000"])
+
+    entries = [dict(locus=data[i], read_pairs=per_locus[i][0],
+                    names=per_locus[i][1], tag=loci[i].name,
+                    prebuilt=built[i]) for i in range(len(loci))]
+    batched = genotype_panel(entries, bg, params=params, scheme=scheme,
+                             seed=7)
+    for i, locus in enumerate(loci):
+        single, _ = genotype_locus(
+            data[i], per_locus[i][0], per_locus[i][1], bg, params=params,
+            scheme=scheme, seed=300 + i, tag=locus.name,
+            prebuilt_alns=built[i])
+        b_res, _ = batched[i]
+        called_b = tuple(sorted(int(x) for x in b_res.genotypes[0]))
+        called_s = tuple(sorted(int(x) for x in single.genotypes[0]))
+        assert called_b == called_s == locus.true_genotype
+        # Likelihood scales agree (same objective, different RNG streams;
+        # each attempt re-randomizes window tweaks, so compare within the
+        # attempt-to-attempt spread).
+        pb, ps = b_res.predictions[0], single.predictions[0]
+        spread = 4.0 * np.sqrt(pb.lik_var / pb.attempts
+                               + ps.lik_var / ps.attempts) + 1.0
+        assert pb.lik_mean == pytest.approx(ps.lik_mean, abs=spread)
