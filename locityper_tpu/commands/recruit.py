@@ -12,9 +12,9 @@ import numpy as np
 from ..seq import fastx
 from ..seq.contigs import ContigSet
 from ..seq.counts import GenomeKmerCounter, KmerCounts, off_target_counts
-from ..seq.recruit import RecruitParams, TargetIndex, recruit_any
+from ..seq.recruit import RecruitParams
 from ..utils.io import smart_create
-from ..utils.logging import Progress, get_logger
+from ..utils.logging import get_logger
 
 logger = get_logger("recruit")
 
@@ -64,50 +64,46 @@ def run(args):
     params = RecruitParams(match_frac=match_frac,
                            match_length=args.match_len,
                            thresh_kmer_count=args.kmer_thresh)
-    index = TargetIndex(params)
+    # Standalone mode has no genome counts: treat all k-mers as rare
+    # (count 0), as the reference does without jellyfish counts.
+    from types import SimpleNamespace
+
+    targets = {}
     for path in args.seqs:
         named = [(r.name, r.seq) for r in fastx.read_fastx_auto(path)]
         cset = ContigSet(Path(path).stem, [n for n, _ in named],
                          [s for _, s in named])
-        # Standalone mode has no genome counts: treat all k-mers as rare
-        # (count 0), as the reference does without jellyfish counts.
         kc = KmerCounts(25, [np.zeros(max(s.size - 24, 0), np.uint16)
                              for _, s in named])
-        index.add_locus(cset, kc)
-    index.finalize()
-    logger.info("%d targets, %d minimizers", index.n_loci, index.keys.size)
+        targets[cset.tag] = SimpleNamespace(contig_set=cset, kmer_counts=kc)
 
     single_out = len(args.output) == 1
-    if not single_out and len(args.output) != index.n_loci:
+    if not single_out and len(args.output) != len(targets):
         raise SystemExit("Number of outputs must be 1 or match targets")
+
+    # Stream through the shared batched engine (device kernel on TPU,
+    # double-buffered; commands/genotype.py:recruit_reads) — the standalone
+    # command gets the same throughput as the genotype pipeline.
+    from .genotype import _read_iter, recruit_reads
+
+    out, _speed = recruit_reads(
+        targets, _read_iter(args.input, args.interleaved), params,
+        subsample=args.subsample, seed=args.seed)
+
     writers = [smart_create(p) for p in args.output]
-
-    rng = np.random.default_rng(args.seed)
-    progress = Progress(logger, "reads")
-
-    def handle(name, c1, c2):
-        if args.subsample is not None and rng.random() >= args.subsample:
-            return 0
-        hits = recruit_any(index, c1, c2)
-        for locus_ix in hits:
-            w = writers[0] if single_out else writers[locus_ix]
-            fastx.write_fastq(w, fastx.Read(name + "/1", c1))
-            if c2 is not None:
-                fastx.write_fastq(w, fastx.Read(name + "/2", c2))
+    order = list(targets)
+    seen_single = set()
+    for t, name in enumerate(order):
+        pairs, names = out[name]
+        w = writers[0] if single_out else writers[t]
+        for (c1, c2), nm in zip(pairs, names):
             if single_out:
-                break
-        return int(bool(hits))
-
-    if len(args.input) == 2:
-        for r1, r2 in fastx.read_pairs(args.input[0], args.input[1]):
-            progress.add(1, handle(r1.name, r1.seq, r2.seq))
-    elif args.interleaved:
-        for r1, r2 in fastx.read_pairs(args.input[0], interleaved=True):
-            progress.add(1, handle(r1.name, r1.seq, r2.seq))
-    else:
-        for r in fastx.read_fastx_auto(args.input[0]):
-            progress.add(1, handle(r.name, r.seq, None))
-    progress.final()
+                if nm in seen_single:
+                    continue
+                seen_single.add(nm)
+            fastx.write_fastq(w, fastx.Read(nm + "/1", c1))
+            if c2 is not None:
+                fastx.write_fastq(w, fastx.Read(nm + "/2", c2))
     for w in writers:
         w.close()
     return 0
