@@ -10,7 +10,10 @@ if "host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+# LOCITYPER_TEST_TPU=1 keeps the real backend (runs the TPU-marked tests,
+# e.g. the Pallas solver dynamics); default is the virtual 8-device CPU mesh.
+if not os.environ.get("LOCITYPER_TEST_TPU"):
+    jax.config.update("jax_platforms", "cpu")
 
 from locityper_tpu.utils.malloc import tune_host_allocator  # noqa: E402
 
