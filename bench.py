@@ -49,10 +49,13 @@ def _make_bg(read_len=150.0, depth_per_hap=15.0, window=100):
 
 
 def bench_e2e(n_loci=4, n_haps=6, locus_len=4000, depth=15.0):
+    import tempfile
+    from pathlib import Path
+
     from locityper_tpu import sim
     from locityper_tpu.pipeline import LocusData, genotype_locus
     from locityper_tpu.bg.err_prof import EditDistCache, EditThresh
-    from locityper_tpu.commands.genotype import recruit_reads
+    from locityper_tpu.commands.genotype import recruit_reads_fast
     from locityper_tpu.model import Params
     from locityper_tpu.model.locs import build_all_alignments_panel
     from locityper_tpu.seq.contigs import ContigSet
@@ -93,6 +96,15 @@ def bench_e2e(n_loci=4, n_haps=6, locus_len=4000, depth=15.0):
     reads2 += list(bgr.reads2)
     names += list(bgr.names)
     total_pairs = len(reads1)
+    # Write the sample as FASTQ so recruitment runs the production input
+    # path (native C++ parser -> dense batches -> device kernel).
+    from locityper_tpu.seq.fastx import Read, write_fastq
+    tmpd = Path(tempfile.mkdtemp(prefix="bench_e2e_"))
+    fq1, fq2 = tmpd / "r1.fq", tmpd / "r2.fq"
+    with open(fq1, "w") as f1, open(fq2, "w") as f2:
+        for n, a, b in zip(names, reads1, reads2):
+            write_fastq(f1, Read(n, a))
+            write_fastq(f2, Read(n, b))
 
     bg = _make_bg(depth_per_hap=depth)
     tech = bg.seq_info.technology
@@ -108,9 +120,8 @@ def bench_e2e(n_loci=4, n_haps=6, locus_len=4000, depth=15.0):
 
     def one_pass(seed):
         t0 = time.perf_counter()
-        rec, _speed = recruit_reads(
-            data, ((n, a, b) for n, a, b in zip(names, reads1, reads2)),
-            rp, seed=seed)
+        rec, _speed = recruit_reads_fast(data, str(fq1), str(fq2), rp,
+                                         seed=seed)
         t1 = time.perf_counter()
         panel = [(rec[l.name][0], rec[l.name][1], data[l.name].contig_set,
                   data[l.name].kmer_counts) for l in loci]
