@@ -144,47 +144,82 @@ def fast_paired_batches(path1, path2, batch: int = 4096, max_len: int = 192):
 
     from ..utils.io import smart_open_bytes
 
-    def chunks(path):
-        buf = b""
-        with smart_open_bytes(path) as f:
-            while True:
-                data = f.read(1 << 22)
-                if not data and not buf:
-                    return
-                buf += data
-                codes, lens, names, consumed = native.parse_fastq_buffer(
-                    buf, max_len, batch * 4)
-                if consumed == 0 and not data:
-                    return
-                buf = buf[consumed:]
-                for i in range(len(names)):
-                    yield names[i], codes[i], lens[i]
+    class _ChunkQueue:
+        """Parsed-chunk FIFO: take(n) assembles [n, max_len] blocks by array
+        slicing — no per-read Python (the parser already returns dense
+        arrays)."""
 
-    it1, it2 = chunks(path1), chunks(path2)
-    names, m1l, l1l, m2l, l2l = [], [], [], [], []
-    for (n1, c1, L1), (n2, c2, L2) in zip(it1, it2):
-        names.append(n1)
-        m1l.append(c1)
-        l1l.append(L1)
-        m2l.append(c2)
-        l2l.append(L2)
-        if len(names) == batch:
-            yield (names, np.stack(m1l), np.array(l1l, np.int32),
-                   np.stack(m2l), np.array(l2l, np.int32), batch)
-            names, m1l, l1l, m2l, l2l = [], [], [], [], []
-    if names:
+        def __init__(self, path):
+            self._gen = self._chunks(path)
+            self._parts = []            # [(codes, lens, names, offset)]
+            self.eof = False
+
+        @staticmethod
+        def _chunks(path):
+            buf = b""
+            with smart_open_bytes(path) as f:
+                while True:
+                    data = f.read(1 << 22)
+                    if not data and not buf:
+                        return
+                    buf += data
+                    codes, lens, names, consumed = native.parse_fastq_buffer(
+                        buf, max_len, batch * 4)
+                    if consumed == 0 and not data:
+                        return
+                    buf = buf[consumed:]
+                    if names:
+                        yield codes[:len(names)], lens[:len(names)], names
+
+        def take(self, n):
+            have = sum(c[0].shape[0] - c[3] for c in self._parts)
+            while have < n and not self.eof:
+                nxt = next(self._gen, None)
+                if nxt is None:
+                    self.eof = True
+                    break
+                self._parts.append([nxt[0], nxt[1], nxt[2], 0])
+                have += nxt[0].shape[0]
+            out_c, out_l, out_n = [], [], []
+            need = n
+            while need and self._parts:
+                codes, lens, names, off = self._parts[0]
+                k = min(need, codes.shape[0] - off)
+                out_c.append(codes[off:off + k])
+                out_l.append(lens[off:off + k])
+                out_n.extend(names[off:off + k])
+                need -= k
+                if off + k == codes.shape[0]:
+                    self._parts.pop(0)
+                else:
+                    self._parts[0][3] = off + k
+            if not out_c:
+                return None, None, []
+            return (np.concatenate(out_c), np.concatenate(out_l), out_n)
+
+    q1, q2 = _ChunkQueue(path1), _ChunkQueue(path2)
+    while True:
+        c1, l1, n1 = q1.take(batch)
+        c2, l2, n2 = q2.take(batch)
+        n = min(len(n1), len(n2))
+        if n == 0:
+            return
+        if n == batch:
+            yield (n1, c1, l1.astype(np.int32), c2, l2.astype(np.int32),
+                   batch)
+            continue
         # Pad the final partial batch to the full batch shape so device
         # kernels see one stable shape.
-        n = len(names)
         m1 = np.full((batch, max_len), 4, np.int8)
         m2 = np.full((batch, max_len), 4, np.int8)
-        m1[:n] = np.stack(m1l)
-        m2[:n] = np.stack(m2l)
-        l1 = np.zeros(batch, np.int32)
-        l2 = np.zeros(batch, np.int32)
-        l1[:n] = l1l
-        l2[:n] = l2l
-        yield (names, m1, l1, m2, l2, n)
+        m1[:n] = c1[:n]
+        m2[:n] = c2[:n]
+        fl1 = np.zeros(batch, np.int32)
+        fl2 = np.zeros(batch, np.int32)
+        fl1[:n] = l1[:n]
+        fl2[:n] = l2[:n]
+        yield (n1[:n], m1, fl1, m2, fl2, n)
+        return
 
 
 def _pack_pairs(names, r1s, r2s, max_len):
