@@ -341,23 +341,7 @@ def rans4x8_encode_0(raw: bytes) -> bytes:
     #   byte(s) freq(s) byte(s+1) byte(g-2) freq(s+1) ... freq(s+g-1)
     # (the decoder reads an RLE byte whenever a symbol byte equals the
     # previously read symbol byte + 1), terminated by byte 0.
-    tbl = bytearray()
-    syms = [int(s) for s in np.nonzero(freqs)[0]]
-    i = 0
-    while i < len(syms):
-        g = 1
-        while i + g < len(syms) and syms[i + g] == syms[i] + g:
-            g += 1
-        s = syms[i]
-        tbl.append(s)
-        tbl += put_itf8(int(freqs[s]))
-        if g > 1:
-            tbl.append(s + 1)
-            tbl.append(g - 2)
-            for r in range(1, g):
-                tbl += put_itf8(int(freqs[s + r]))
-        i += g
-    tbl.append(0)
+    tbl = _rans_freq_table_bytes(freqs)
 
     # encode in 4 interleaved streams, back to front
     RANS_LOW = 1 << 23
@@ -378,6 +362,104 @@ def rans4x8_encode_0(raw: bytes) -> bytes:
     body = struct.pack("<4I", *states) + bytes(reversed(out_rev))
     payload = bytes(tbl) + body
     return bytes([0]) + struct.pack("<II", len(payload), n) + payload
+
+
+def _rans_norm_freqs(hist: np.ndarray) -> np.ndarray:
+    total = hist.sum()
+    freqs = (hist * _RANS_TOTFREQ // max(total, 1)).astype(np.int64)
+    freqs[(hist > 0) & (freqs == 0)] = 1
+    diff = _RANS_TOTFREQ - freqs.sum()
+    freqs[int(np.argmax(freqs))] += diff
+    return freqs
+
+
+def _rans_freq_table_bytes(freqs: np.ndarray) -> bytes:
+    """Symbol/frequency serialization shared by order-0 tables and each
+    order-1 context row (spec §13.4; see rans4x8_encode_0)."""
+    tbl = bytearray()
+    syms = [int(x) for x in np.nonzero(freqs)[0]]
+    i = 0
+    while i < len(syms):
+        g = 1
+        while i + g < len(syms) and syms[i + g] == syms[i] + g:
+            g += 1
+        s0 = syms[i]
+        tbl.append(s0)
+        tbl += put_itf8(int(freqs[s0]))
+        if g > 1:
+            tbl.append(s0 + 1)
+            tbl.append(g - 2)
+            for r in range(1, g):
+                tbl += put_itf8(int(freqs[s0 + r]))
+        i += g
+    tbl.append(0)
+    return bytes(tbl)
+
+
+def rans4x8_encode_1(raw: bytes) -> bytes:
+    """Order-1 rANS 4x8 encoder (tests the order-1 decoder; quarters are
+    encoded independently, context = previous byte, 0 at quarter start)."""
+    n = len(raw)
+    if n < 4:
+        return rans4x8_encode_0(raw)
+    quarter = n >> 2
+    starts = [0, quarter, 2 * quarter, 3 * quarter]
+    ends = [quarter, 2 * quarter, 3 * quarter, n]
+    hist = np.zeros((256, 256), np.int64)
+    for j in range(4):
+        ctx = 0
+        for i in range(starts[j], ends[j]):
+            hist[ctx, raw[i]] += 1
+            ctx = raw[i]
+    freqs = np.zeros((256, 256), np.int64)
+    cum = np.zeros((256, 257), np.int64)
+    used_ctx = np.nonzero(hist.sum(axis=1))[0]
+    for c in used_ctx:
+        freqs[c] = _rans_norm_freqs(hist[c])
+        np.cumsum(freqs[c], out=cum[c, 1:])
+
+    # Context-table serialization mirrors the order-0 table nesting.
+    tbl = bytearray()
+    ctxs = [int(c) for c in used_ctx]
+    i = 0
+    while i < len(ctxs):
+        g = 1
+        while i + g < len(ctxs) and ctxs[i + g] == ctxs[i] + g:
+            g += 1
+        c0 = ctxs[i]
+        tbl.append(c0)
+        tbl += _rans_freq_table_bytes(freqs[c0])
+        if g > 1:
+            tbl.append(c0 + 1)
+            tbl.append(g - 2)
+            for r in range(1, g):
+                tbl += _rans_freq_table_bytes(freqs[c0 + r])
+        i += g
+    tbl.append(0)
+
+    RANS_LOW = 1 << 23
+    states = [RANS_LOW] * 4
+    out_rev = bytearray()
+    # Interleave renormalization bytes exactly inversely to the decoder's
+    # round-robin (position-major, streams j = 3..0 within a step).
+    max_len = max(ends[j] - starts[j] for j in range(4))
+    for step in range(max_len - 1, -1, -1):
+        for j in range(3, -1, -1):
+            pos = starts[j] + step
+            if pos >= ends[j]:
+                continue
+            sym = raw[pos]
+            ctx = raw[pos - 1] if pos > starts[j] else 0
+            f = int(freqs[ctx, sym])
+            c = int(cum[ctx, sym])
+            x = states[j]
+            x_max = ((RANS_LOW >> 12) << 8) * f
+            while x >= x_max:
+                out_rev.append(x & 0xFF)
+                x >>= 8
+            states[j] = ((x // f) << 12) + (x % f) + c
+    payload = bytes(tbl) + struct.pack("<4I", *states) + bytes(reversed(out_rev))
+    return bytes([1]) + struct.pack("<II", len(payload), n) + payload
 
 
 def _decompress(method: int, blob: bytes, raw_size: int) -> bytes:

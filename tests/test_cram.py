@@ -47,6 +47,24 @@ class TestRans:
         for data in (b"A", b"AB", b"ABCD" * 2):
             assert cram.rans4x8_decode(cram.rans4x8_encode_0(data)) == data
 
+    @pytest.mark.parametrize("seed,kind", [(0, "qual"), (1, "dna"),
+                                           (2, "random"), (3, "tail")])
+    def test_order1_roundtrip(self, seed, kind):
+        """Order-1 decode (per-context tables, interleaved tail) against
+        the order-1 encoder."""
+        rng = np.random.default_rng(seed)
+        if kind == "qual":
+            data = bytes(rng.integers(33, 43, 8000, dtype=np.uint8))
+        elif kind == "dna":
+            data = b"ACGTACGTTTTGGG" * 300
+        elif kind == "random":
+            data = bytes(rng.integers(0, 256, 4096, dtype=np.uint8))
+        else:
+            data = bytes(rng.integers(60, 80, 4099, dtype=np.uint8))
+        enc = cram.rans4x8_encode_1(data)
+        assert enc[0] == 1
+        assert cram.rans4x8_decode(enc) == data
+
 
 class TestRoundTrip:
     def _write_read(self, tmp_path, writer_fn, reference):
