@@ -547,6 +547,24 @@ def _align_candidates(mates, jobs, contig_set, score_vec, band,
 # bg-estimation path).  Semantics: locs.rs:736-901.
 # ---------------------------------------------------------------------------
 
+def _neighb_complexity_arrays(contig_set, k: int, neighb: int):
+    """Per-haplotype moving-window linguistic complexity (the reference's
+    ContigInfo mov_info, windows.rs:404-407) for the low-complexity
+    edit-threshold relaxation."""
+    from ..seq.compl import linguistic_complexity
+    return [linguistic_complexity(s, k, neighb) for s in contig_set.seqs]
+
+
+def _neighb_complexity_at(compl_arr, middle: int, neighb: int) -> float:
+    """complexity of the neighbourhood around `middle`
+    (windows.rs:449-452)."""
+    if compl_arr.size == 0:
+        return 1.0
+    i = min(max(middle - neighb // 2, 0), compl_arr.size - 1)
+    v = float(compl_arr[i])
+    return 1.0 if np.isnan(v) else v
+
+
 def _dedup_mate_alns(alns: list) -> list:
     """Keeps the best alignment per (hap, ~128bp start bin)
     (PosCollection, locs.rs:174-263)."""
@@ -874,7 +892,39 @@ def _build_all_alignments_gen(read_pairs, names, contig_set: ContigSet,
     mate_len = np.fromiter((m.size for m in mates), np.int64, M)
     ulen, inv = np.unique(mate_len, return_inverse=True)
     thr = np.array([edit_cache.get(int(L)) for L in ulen], np.int64)
-    good_m, pass_m = thr[inv, 0], thr[inv, 1]
+    good_m, pass_m = thr[inv, 0].copy(), thr[inv, 1].copy()
+    # Low-complexity neighbourhoods relax the thresholds for short reads
+    # (locs.rs:510-528): a mate whose primary (best-prob) alignment sits
+    # where linguistic complexity <= poor_compl accepts edits up to
+    # poor_compl_edit * len.
+    if bg.seq_info.technology.are_short_reads and len(tbl):
+        neighb = bg.depth.neighb_size
+        compl_arrs = _neighb_complexity_arrays(contig_set,
+                                               params.complexity_k, neighb)
+        order2 = np.lexsort((-tbl.prob, tbl.mate))
+        pm_sorted = tbl.mate[order2]
+        first2 = np.ones(order2.size, bool)
+        first2[1:] = pm_sorted[1:] != pm_sorted[:-1]
+        prim = order2[first2]                      # best row per mate
+        pm = tbl.mate[prim]
+        mid = tbl.middle[prim]
+        hp = tbl.hap[prim]
+        half = neighb // 2
+        compl = np.ones(prim.size)
+        for h in np.unique(hp):
+            rows = np.nonzero(hp == h)[0]
+            ca = compl_arrs[h]
+            if ca.size == 0:
+                continue
+            ix = np.clip(mid[rows] - half, 0, ca.size - 1).astype(np.int64)
+            compl[rows] = np.nan_to_num(ca[ix], nan=1.0)
+        relax_m = np.zeros(M, bool)
+        relax_m[pm] = compl <= params.poor_compl
+        thr_rel = np.maximum(good_m,
+                             (params.poor_compl_edit * mate_len).astype(
+                                 np.int64))
+        pass_m = pass_m + np.where(relax_m, thr_rel - good_m, 0)
+        good_m = np.where(relax_m, thr_rel, good_m)
     tbl = tbl.select(tbl.edit <= pass_m[tbl.mate])
 
     has_aln = np.zeros(M, bool)
@@ -1081,6 +1131,12 @@ def build_all_alignments_obj(read_pairs, names, contig_set: ContigSet,
         r, mate = mate_of_read[m_ix]
         per_read.setdefault(r, [[], []])[mate] = _dedup_mate_alns(alns)
 
+    short_reads = bg.seq_info.technology.are_short_reads
+    neighb = bg.depth.neighb_size
+    compl_arrs = (_neighb_complexity_arrays(contig_set, params.complexity_k,
+                                            neighb)
+                  if short_reads else None)
+
     for r, (c1, c2) in enumerate(read_pairs):
         alns1, alns2 = per_read.get(r, [[], []])
         well_mapped = True
@@ -1088,6 +1144,15 @@ def build_all_alignments_obj(read_pairs, names, contig_set: ContigSet,
             if codes is None:
                 continue
             good, passable = edit_cache.get(codes.size)
+            if short_reads and alns:
+                prim = max(alns, key=lambda a: a.ln_prob)
+                compl = _neighb_complexity_at(
+                    compl_arrs[prim.hap], (prim.start + prim.end) // 2,
+                    neighb)
+                if compl <= params.poor_compl:
+                    thr = max(good, int(params.poor_compl_edit * codes.size))
+                    passable += thr - good
+                    good = thr
             alns[:] = [a for a in alns if a.edit <= passable]
             if not alns:
                 well_mapped = False

@@ -111,3 +111,63 @@ class TestLocsParity:
                 for _ in range(4)]
         _assert_parity(data, junk, [f"j{i}" for i in range(4)], bg, params,
                        cache)
+
+
+def test_low_complexity_relaxes_edit_threshold():
+    """locs.rs:510-528: reads whose primary alignment sits in a
+    low-complexity neighbourhood accept edits up to poor_compl_edit*len;
+    with the relaxation disabled the same reads are poorly mapped."""
+    import numpy as np
+
+    from locityper_tpu import sim
+    from locityper_tpu.bg.err_prof import EditDistCache, EditThresh
+    from locityper_tpu.model import Params
+    from locityper_tpu.model.locs import build_all_alignments
+    from locityper_tpu.seq.contigs import ContigSet
+    from locityper_tpu.seq.counts import GenomeKmerCounter, off_target_counts
+    from test_pipeline import make_bg
+
+    rng = np.random.default_rng(0)
+    # Haplotype with a long dinucleotide repeat in the middle: linguistic
+    # complexity there is far below poor_compl=0.5.
+    flank1 = sim.random_genome(rng, 1200)
+    repeat = np.tile(np.array([0, 1], np.int8), 600)       # ACAC... x600
+    flank2 = sim.random_genome(rng, 1200)
+    hap = np.concatenate([flank1, repeat, flank2])
+    cset = ContigSet("LC", ["h0"], [hap])
+    counter = GenomeKmerCounter(25)
+    counter.add_seq(np.concatenate([sim.random_genome(rng, 5000), hap]))
+    counter.finalize()
+    kc = off_target_counts(counter, [hap], hap)
+
+    bg = make_bg()
+    params = Params(
+        unmapped_penalty=bg.seq_info.technology.default_unmapped_penalty())
+    params.set_tweak_size(bg.depth.window_size)
+    params.band = 48
+    edit_cache = EditDistCache(bg.err_prof, EditThresh.default_for(
+        bg.seq_info.technology))
+    good, _passable = edit_cache.get(150)
+
+    # Paired reads from the repeat with edit distance just above `good`.
+    err = sim.ErrorModel(mismatch=(good + 3) / 150.0, insertion=0.0,
+                         deletion=0.0)
+    pairs, names = [], []
+    for i in range(30):
+        s = 1250 + int(rng.integers(0, 500))
+        r1 = err.apply(rng, hap[s:s + 150])[:150]
+        r2 = err.apply(rng, hap[s + 250:s + 400])[:150]
+        pairs.append((r1, r2))
+        names.append(f"p{i}")
+
+    relaxed, st_rel = build_all_alignments(pairs, names, cset, kc, bg,
+                                           edit_cache, params)
+    params_off = Params(
+        unmapped_penalty=bg.seq_info.technology.default_unmapped_penalty(),
+        poor_compl=0.0)                        # relaxation can never fire
+    params_off.set_tweak_size(bg.depth.window_size)
+    params_off.band = 48
+    strict, st_off = build_all_alignments(pairs, names, cset, kc, bg,
+                                          edit_cache, params_off)
+    assert st_rel["poorly_mapped"] < st_off["poorly_mapped"], (st_rel, st_off)
+    assert relaxed.n_used > strict.n_used
