@@ -35,7 +35,7 @@ class Params:
     # accumulate indel drift along the diagonal, so the band scales with
     # technology (None = auto: 48 short reads, 160 long reads).
     band: int | None = None
-    max_alns_per_hap: int = 10                # MAX_USED_ALNS (locs.rs:733)
+    # MAX_USED_ALNS lives as a constant in model/locs.py (locs.rs:733).
     min_anchor_votes: int = 2
 
     @property
