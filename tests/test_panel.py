@@ -187,3 +187,55 @@ def test_solve_panel_matches_per_locus(panel):
         spread = 4.0 * np.sqrt(pb.lik_var / pb.attempts
                                + ps.lik_var / ps.attempts) + 1.0
         assert pb.lik_mean == pytest.approx(ps.lik_mean, abs=spread)
+
+
+def test_genotype_panel_out_sams_and_multistage(panel, tmp_path):
+    """Panel path with SAM output and a two-stage scheme (stage-1 culling
+    runs per locus inside solve_panel)."""
+    from locityper_tpu.bg.err_prof import EditDistCache, EditThresh
+    from locityper_tpu.model import Params
+    from locityper_tpu.model.locs import build_all_alignments_panel
+    from locityper_tpu.pipeline import genotype_panel
+
+    rng, loci, data, (r1, r2, names) = panel
+    idx = TargetIndex(RecruitParams(match_frac=0.5))
+    for d in data:
+        idx.add_locus(d.contig_set, d.kmer_counts)
+    idx.finalize()
+    per_locus = {i: ([], []) for i in range(len(loci))}
+    for a, b, name in zip(r1, r2, names):
+        for locus_ix in recruit_read_pair(idx, a, b):
+            per_locus[locus_ix][0].append((a, b))
+            per_locus[locus_ix][1].append(name)
+    bg = make_bg()
+    tech = bg.seq_info.technology
+    params = Params(unmapped_penalty=tech.default_unmapped_penalty(),
+                    out_bams=1, dont_skip=True)
+    params.set_tweak_size(bg.depth.window_size)
+    if params.band is None:
+        params.band = 48
+    edit_cache = EditDistCache(bg.err_prof, EditThresh.default_for(tech))
+    inputs = [(per_locus[i][0], per_locus[i][1], data[i].contig_set,
+               data[i].kmer_counts) for i in range(len(loci))]
+    built = build_all_alignments_panel(inputs, bg, edit_cache, params)
+    scheme = Scheme.parse(["greedy:i=5,a=1", "anneal:i=4,a=4,n=1500,p=800"])
+    entries = [dict(locus=data[i], read_pairs=per_locus[i][0],
+                    names=per_locus[i][1], tag=loci[i].name,
+                    prebuilt=built[i],
+                    sam_dir=tmp_path / f"sams{i}",
+                    sol_path=tmp_path / f"sol{i}.csv")
+               for i in range(len(loci))]
+    solved = genotype_panel(entries, bg, params=params, scheme=scheme,
+                            seed=11)
+    for i, locus in enumerate(loci):
+        res, _ = solved[i]
+        called = tuple(sorted(int(x) for x in res.genotypes[0]))
+        assert called == locus.true_genotype
+        sam = tmp_path / f"sams{i}" / "00.sam.gz"
+        assert sam.exists()
+        import gzip
+        lines = gzip.open(sam, "rt").read().splitlines()
+        assert sum(1 for l in lines if not l.startswith("@")) > 50
+        sol = open(tmp_path / f"sol{i}.csv").read().splitlines()
+        assert sol[0] == "stage\tgenotype\tscore"
+        assert {l.split("\t")[0] for l in sol[1:]} == {"1", "2"}
