@@ -123,14 +123,23 @@ def _prepare_solve_inputs(locus: LocusData, all_alns, bg: BgDistr,
     pack = ContigInfoPack.pack(infos)
     tensors = LocusTensors.build(all_alns)
     n_haps = len(locus.contig_set.seqs)
-    gts = Genotype.generate_all(n_haps, ploidy)
-    genotypes = np.array([g.ids for g in gts], np.int32)
-    prior_vec = np.zeros(len(gts))
-    if priors:
-        for i, g in enumerate(gts):
-            prior_vec[i] = priors.get(g.ids, 0.0)
     hnames = locus.contig_set.contigs.names
-    gt_names = [",".join(hnames[h] for h in g.ids) for g in gts]
+    if priors:
+        # The priors file DEFINES the genotype list (genotype.rs:1077-1101):
+        # only listed genotypes with a finite prior are evaluated.
+        entries = [(ids, lp) for ids, lp in sorted(priors.items())
+                   if np.isfinite(lp) and len(ids) == ploidy]
+        if not entries:
+            raise ValueError("No usable genotypes in the priors file "
+                             f"(ploidy {ploidy})")
+        genotypes = np.array([ids for ids, _ in entries], np.int32)
+        prior_vec = np.array([lp for _, lp in entries])
+        gt_names = [",".join(hnames[h] for h in ids) for ids, _ in entries]
+    else:
+        gts = Genotype.generate_all(n_haps, ploidy)
+        genotypes = np.array([g.ids for g in gts], np.int32)
+        prior_vec = np.zeros(len(gts))
+        gt_names = [",".join(hnames[h] for h in g.ids) for g in gts]
     return dict(tensors=tensors, pack=pack, genotypes=genotypes,
                 priors=prior_vec, gt_names=gt_names)
 

@@ -116,3 +116,26 @@ class TestGenotypeLocus:
         assert obj["options"][0]["genotype"] == obj["genotype"]
         probs = [o["prob"] for o in obj["options"]]
         assert sum(probs) == pytest.approx(1.0, abs=1e-6)
+
+
+class TestPriors:
+    def test_priors_define_genotype_list(self):
+        """The priors file DEFINES the evaluated genotypes
+        (genotype.rs:1077-1101): unlisted and -inf genotypes are excluded,
+        finite priors weight the ranking."""
+        rng, locus, data = make_locus(seed=4)
+        bg = make_bg()
+        true_haps = [locus.haplotypes[i] for i in locus.true_genotype]
+        reads = sim.simulate_paired_reads(rng, true_haps, depth=14.0)
+        pairs = list(zip(reads.reads1, reads.reads2))
+        t = tuple(sorted(locus.true_genotype))
+        # Allow only two genotypes: the truth and one decoy.
+        decoy = (0, 1) if t != (0, 1) else (2, 3)
+        priors = {t: -0.1, decoy: -0.2, (0, 0): float("-inf")}
+        result, _ = genotype_locus(
+            data, pairs, reads.names, bg,
+            scheme=Scheme.parse(["anneal:i=4,a=4,n=2000,p=1000"]),
+            seed=4, priors=priors)
+        evaluated = {tuple(sorted(g)) for g in result.genotypes}
+        assert evaluated <= {t, decoy}
+        assert tuple(sorted(result.genotypes[0])) == t
