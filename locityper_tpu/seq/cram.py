@@ -57,7 +57,6 @@ CF_DETACHED = 0x2
 CF_HAS_MATE_DOWNSTREAM = 0x4
 CF_UNKNOWN_BASES = 0x8
 
-_BASES = b"ACGTN"
 
 
 # ---------------------------------------------------------------------------
@@ -140,29 +139,17 @@ def put_itf8(v: int) -> bytes:
 
 
 def put_ltf8(v: int) -> bytes:
+    """Shortest LTF8 form: `extra` continuation bytes hold values below
+    2^(7*(extra+1)); the first byte carries `extra` leading 1-bits."""
     v &= (1 << 64) - 1
     if v < 0x80:
         return bytes([v])
-    out = []
-    n = v.bit_length()
-    n_bytes = (n + 7) // 8
-    if n_bytes > 8 or (n_bytes == (n + 7) // 8 and n > 8 * n_bytes - (n_bytes + 1) + 8):
-        pass
-    # Choose the shortest form: k extra bytes hold v when
-    # v < 2^(7-k+8k) = 2^(7k+7)... use the straightforward loop.
-    for extra in range(1, 9):
-        if extra < 8:
-            if v < (1 << (7 - extra + 8 * extra)):
-                prefix = (0xFF << (8 - extra)) & 0xFF
-                body = v.to_bytes(extra + 1, "big")
-                first = body[0] | prefix
-                if first & (0x80 >> extra):
-                    continue
-                out = bytes([first]) + body[1:]
-                return out
-        else:
-            return bytes([0xFF]) + v.to_bytes(8, "big")
-    raise AssertionError
+    for extra in range(1, 8):
+        if v < (1 << (7 * (extra + 1))):
+            prefix = (0xFF << (8 - extra)) & 0xFF
+            body = v.to_bytes(extra + 1, "big")
+            return bytes([body[0] | prefix]) + body[1:]
+    return bytes([0xFF]) + v.to_bytes(8, "big")
 
 
 def put_itf8_array(vals) -> bytes:
