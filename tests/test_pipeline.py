@@ -139,3 +139,23 @@ class TestPriors:
         evaluated = {tuple(sorted(g)) for g in result.genotypes}
         assert evaluated <= {t, decoy}
         assert tuple(sorted(result.genotypes[0])) == t
+
+
+class TestHaploid:
+    def test_ploidy_one_recovery(self):
+        """Ploidy-1 genotyping (dummy-haplotype pairing through the diploid
+        kernel): a haploid sample recovers its single haplotype."""
+        rng, locus, data = make_locus(seed=8)
+        bg = make_bg()
+        h = locus.true_genotype[0]
+        reads = sim.simulate_paired_reads(
+            rng, [locus.haplotypes[h], locus.haplotypes[h]], depth=15.0,
+            errors=sim.ErrorModel(0.002, 0.0002, 0.0002))
+        res, _ = genotype_locus(
+            data, list(zip(reads.reads1, reads.reads2)), reads.names, bg,
+            ploidy=1, scheme=Scheme.parse(["anneal:i=4,a=4,n=1500,p=800"]),
+            seed=8)
+        assert tuple(res.genotypes[0]) == (h,)
+        obj = res.to_json(locus.hap_names)
+        assert obj["genotype"] == locus.hap_names[h]
+        assert obj["quality"] > 10
