@@ -133,6 +133,9 @@ def _prepare_solve_inputs(locus: LocusData, all_alns, bg: BgDistr,
     n_haps = len(locus.contig_set.seqs)
     hnames = locus.contig_set.contigs.names
     dist_matrix = locus.dist_matrix
+    if ploidy > 2:
+        raise ValueError(f"ploidy {ploidy} is not supported (the device "
+                         "tensors are diploid-shaped; use 1 or 2)")
     haploid = ploidy == 1
     if haploid:
         # Haploid genotyping through the diploid kernel: pair every
