@@ -41,7 +41,7 @@ def mk():
             m1[i,:150] = genome[s:s+150]; m2[i,:150] = genome[s+250:s+400]
     return jax.device_put(m1), jax.device_put(m2)
 ins = [mk() for _ in range(2)]
-keys, fm, bm, rm = map(jax.device_put, (dev.keys, dev.fw_mask, dev.bw_mask, dev.rare_mask))
+keys, fm, bm, rm = map(jax.device_put, (dev.keys_signed, dev.fw_mask, dev.bw_mask, dev.rare_mask))
 
 def run(a, b):
     return recruit_pairs_batch(dev.cfg, a, b, keys, fm, bm, rm)

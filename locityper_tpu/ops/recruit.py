@@ -29,6 +29,12 @@ from ..seq.recruit import (DIR_BW, DIR_FW, RARE_BIT, RARE_WORTH,
                            TargetIndex)
 
 UNDEF32 = jnp.uint32(0xFFFFFFFF)
+# Hashes travel device-side in a SIGNED order-preserving view
+# (h ^ 0x80000000 as int32): Mosaic (Pallas TPU) lacks unsigned vector
+# compares, and order must survive for the sorted-key binary search.
+SIGN_BIT = 0x80000000
+BIG_S32 = np.int32(0x7FFFFFFF)          # UNDEF32 under the signed view
+_HASH_TB = 256                          # pallas batch tile
 
 _Cfg = namedtuple("_Cfg", "n_loci n_groups k w frac_p frac_q")
 
@@ -79,13 +85,18 @@ class DeviceIndex:
         return _Cfg(self.n_loci, self.n_groups, self.k, self.w,
                     self.frac_p, self.frac_q)
 
+    @property
+    def keys_signed(self) -> np.ndarray:
+        """Sorted keys in the signed order-preserving view (see SIGN_BIT)."""
+        return (self.keys ^ np.uint32(SIGN_BIT)).astype(np.int32)
+
     def device_args(self):
         """Index tables resident on device (uploaded once — implicit
         numpy->jit transfers take a slow per-call path on relay-attached
         chips, BENCH_NOTES round 2)."""
         if not hasattr(self, "_dev_args"):
             object.__setattr__(self, "_dev_args", tuple(
-                jax.device_put(a) for a in (self.keys, self.fw_mask,
+                jax.device_put(a) for a in (self.keys_signed, self.fw_mask,
                                             self.bw_mask, self.rare_mask)))
         return self._dev_args
 
@@ -145,11 +156,104 @@ def _minimizer_mask(h, w: int):
     return (a + b >= w - 1) & (h != UNDEF32)
 
 
+def _hash_mask_pallas(reads, k: int, w: int):
+    """Fused hash+minimizer-mask Pallas kernel: the whole per-read front
+    end (canonical k-mers, murmur mix, scatter-free minimizer mask) runs
+    as one VMEM-resident program, pinning codegen at ~0.1 ms / 16k reads
+    (the equivalent XLA fusion measured 30-100 ms on bad compile/relay
+    draws — BENCH_NOTES round 2).  Returns (hs signed-view [B, P] int32,
+    is_fw, mask).
+
+    Mosaic constraints shaped this kernel (each violation found the hard
+    way): no unsigned vector ops (compares miscompile silently — all
+    arithmetic is int32, exact since k <= 15 means 30-bit k-mers; the
+    murmur mix wraps identically in two's complement with LOGICAL right
+    shifts); no unaligned lane SLICES (also miscompile) — lane movement
+    uses jnp.roll at full [TB, L] width, sliced to P only outside the
+    kernel; jnp.roll by 0 is invalid (empty-slice lowering).
+    """
+    from jax.experimental import pallas as pl
+
+    B, L = reads.shape
+    P = L - k + 1
+    TB = _HASH_TB
+    if 2 * k > 30:
+        raise ValueError("pallas hash kernel requires k <= 15 "
+                         "(30-bit k-mers in int32)")
+
+    def kern(reads_ref, h_ref, fwd_ref, mask_ref):
+        srl = jax.lax.shift_right_logical
+        codes = reads_ref[...].astype(jnp.int32)
+        fw = jnp.zeros((TB, L), jnp.int32)
+        rv = jnp.zeros((TB, L), jnp.int32)
+        nbad = jnp.zeros((TB, L), jnp.int32)
+        for j in range(k):
+            raw = codes if j == 0 else jnp.roll(codes, -j, axis=1)
+            bad = (raw >= 4).astype(jnp.int32)
+            cj = jnp.where(bad > 0, 0, raw)
+            fw = fw | (cj << (2 * (k - 1 - j)))
+            rv = rv | ((3 - cj) << (2 * j))
+            nbad = nbad + bad
+        ok = nbad == 0
+        is_fw = fw <= rv                       # 30-bit values: signed-safe
+        kmer = jnp.where(is_fw, fw, rv)
+        x = ~kmer
+        x = x ^ srl(x, 16)
+        x = x * jnp.int32(np.uint32(0x85EBCA6B).view(np.int32))
+        x = x ^ srl(x, 13)
+        hs = x ^ jnp.int32(np.uint32(SIGN_BIT).view(np.int32))
+        bigs = jnp.int32(0x7FFFFFFF)
+        iota = jax.lax.broadcasted_iota(jnp.int32, (TB, L), 1)
+        hs = jnp.where(ok & (iota < P), hs, bigs)
+        a = jnp.zeros((TB, L), jnp.int32)
+        b = jnp.zeros((TB, L), jnp.int32)
+        lmin = None
+        rmin = None
+        for i in range(1, w):
+            sh_l = jnp.where(iota < i, bigs, jnp.roll(hs, i, axis=1))
+            lmin = sh_l if lmin is None else jnp.minimum(lmin, sh_l)
+            a = a + (lmin > hs)
+            sh_r = jnp.where(iota >= P - i, bigs, jnp.roll(hs, -i, axis=1))
+            rmin = sh_r if rmin is None else jnp.minimum(rmin, sh_r)
+            b = b + (rmin >= hs)
+        a = jnp.minimum(a, iota)
+        b = jnp.minimum(b, P - 1 - iota)
+        mask_ref[...] = (a + b >= w - 1) & (hs != bigs)
+        h_ref[...] = hs
+        fwd_ref[...] = is_fw
+
+    hs, is_fw, mask = pl.pallas_call(
+        kern, grid=(B // TB,),
+        in_specs=[pl.BlockSpec((TB, L), lambda i: (i, 0))],
+        out_specs=[pl.BlockSpec((TB, L), lambda i: (i, 0))] * 3,
+        out_shape=[jax.ShapeDtypeStruct((B, L), jnp.int32),
+                   jax.ShapeDtypeStruct((B, L), jnp.bool_),
+                   jax.ShapeDtypeStruct((B, L), jnp.bool_)],
+    )(reads)
+    return hs[:, :P], is_fw[:, :P], mask[:, :P]
+
+
+def _hash_mask(reads, k: int, w: int):
+    """(hs signed-view, is_fw, mask) — Pallas on TPU for short reads,
+    the XLA fusion elsewhere (long reads exceed VMEM tiles; CPU interpret
+    mode would be slower than XLA)."""
+    B, L = reads.shape
+    if (jax.default_backend() != "cpu" and L <= 512
+            and B % _HASH_TB == 0 and L - k + 1 >= 1):
+        return _hash_mask_pallas(reads, k, w)
+    h, is_fw = _canonical_hashes(reads, k)
+    mask = _minimizer_mask(h, w)
+    hs = (h ^ jnp.uint32(SIGN_BIT)).astype(jnp.int32)
+    return hs, is_fw, mask
+
+
 def _mate_counters(reads, cfg: _Cfg, keys, fw_mask, bw_mask, rare_mask):
     """Per-locus counters [B, n_loci, 4] = [bw_c, fw_c, bw_r, fw_r] and the
-    minimizer totals [B] — via bitmap extraction, no scatters."""
-    h, is_fw = _canonical_hashes(reads, cfg.k)
-    mask = _minimizer_mask(h, cfg.w)
+    minimizer totals [B] — via bitmap extraction, no scatters.
+
+    `keys` is the SIGNED view of the sorted minimizer table
+    (DeviceIndex.keys_signed)."""
+    h, is_fw, mask = _hash_mask(reads, cfg.k, cfg.w)
     total = jnp.sum(mask, axis=1).astype(jnp.int32)
 
     B, P = h.shape
@@ -279,9 +383,9 @@ def recruit_long_batch(cfg, reads, keys, fw_mask, bw_mask, rare_mask,
                        stretch_minims: int, stretch_score: int):
     """[B, n_loci] bool decisions for long single-end reads
     (recruit.rs:966-997): rare-match fraction threshold + Kadane matching
-    stretch, both evaluated for every locus at once on device."""
-    h, is_fw = _canonical_hashes(reads, cfg.k)
-    mask = _minimizer_mask(h, cfg.w)
+    stretch, both evaluated for every locus at once on device.  `keys` is
+    the signed view (DeviceIndex.keys_signed)."""
+    h, is_fw, mask = _hash_mask(reads, cfg.k, cfg.w)
     total = jnp.sum(mask, axis=1).astype(jnp.int32)
 
     B, P = h.shape
