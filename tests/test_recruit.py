@@ -1,4 +1,5 @@
 """Recruitment engine: index build + matching rules on simulated loci."""
+import jax
 import numpy as np
 import pytest
 
@@ -285,3 +286,31 @@ class TestDeviceLongRecruit:
             assert device == host, f"read {i}: device={device} host={host}"
             n_hit += bool(host)
         assert 0 < n_hit < len(mix)
+
+
+@pytest.mark.skipif(jax.default_backend() == "cpu",
+                    reason="Pallas hash front end needs TPU hardware")
+class TestPallasHashFrontEnd:
+    """The fused Pallas hash+minimizer-mask kernel must be bit-exact vs
+    the XLA fusion ON THE CHIP (run with LOCITYPER_TEST_TPU=1; Mosaic
+    miscompiles unsigned compares and unaligned lane slices silently —
+    BENCH_NOTES round 2)."""
+
+    @pytest.mark.parametrize("L", [152, 192, 256])
+    def test_bit_exact_vs_xla(self, L):
+        import jax.numpy as jnp
+
+        from locityper_tpu.ops import recruit as R
+
+        rng = np.random.default_rng(L)
+        B = 2048
+        reads = rng.integers(0, 5, (B, L)).astype(np.int8)   # incl. Ns
+        rd = jax.device_put(reads)
+        hp, fp, mp = [np.asarray(v) for v in R._hash_mask_pallas(rd, 15, 10)]
+        h, f = R._canonical_hashes(rd, 15)
+        m = R._minimizer_mask(h, 10)
+        hx = np.asarray((h ^ jnp.uint32(R.SIGN_BIT)).astype(jnp.int32))
+        np.testing.assert_array_equal(hp, hx)
+        np.testing.assert_array_equal(mp, np.asarray(m))
+        valid = hx != 0x7FFFFFFF
+        np.testing.assert_array_equal(fp[valid], np.asarray(f)[valid])
