@@ -160,6 +160,37 @@ def sharded_align(mesh: Mesh, reads, rlens, hap_wins, score_vec,
     return {k: np.asarray(v)[:N] for k, v in res.items()}
 
 
+def sharded_recruit_pairs(mesh: Mesh, cfg, reads1, reads2, keys_signed,
+                          fw_mask, bw_mask, rare_mask):
+    """Read-batch-sharded pair recruitment (P1 of SURVEY.md §2.3): the
+    [B, L] batches split along the full mesh; each device classifies its
+    shard with the local kernel — no collectives (the reference's
+    recruitment task farm, recruit.rs:1103-1311)."""
+    from ..ops.recruit import recruit_pairs_batch
+
+    n = mesh.devices.size
+    B = reads1.shape[0]
+    pad = (-B) % n
+    if pad:
+        reads1 = np.concatenate(
+            [reads1, np.full((pad, reads1.shape[1]), 4, reads1.dtype)])
+        reads2 = np.concatenate(
+            [reads2, np.full((pad, reads2.shape[1]), 4, reads2.dtype)])
+
+    def local(r1, r2, k, f, b, rr):
+        return recruit_pairs_batch(cfg, r1, r2, k, f, b, rr)
+
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(("read", "gt")), P(("read", "gt")), P(), P(), P(), P()),
+        out_specs=P(("read", "gt")),
+        check_rep=False)
+    hits = fn(jnp.asarray(reads1), jnp.asarray(reads2),
+              jnp.asarray(keys_signed), jnp.asarray(fw_mask),
+              jnp.asarray(bw_mask), jnp.asarray(rare_mask))
+    return hits[:B]
+
+
 def full_step(mesh: Mesh, key, tensors, pack, bayes, genotypes, priors,
               cfg: SolverConfig, n_attempts: int = 2):
     """One full sharded genotyping step: read-sharded filter + gt-sharded
