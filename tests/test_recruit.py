@@ -314,3 +314,40 @@ class TestPallasHashFrontEnd:
         np.testing.assert_array_equal(mp, np.asarray(m))
         valid = hx != 0x7FFFFFFF
         np.testing.assert_array_equal(fp[valid], np.asarray(f)[valid])
+
+
+def test_sharded_recruit_matches_single_device():
+    """sharded_recruit_pairs over the virtual mesh must equal the
+    single-device kernel decisions exactly (P1 as data parallelism)."""
+    from locityper_tpu.ops.recruit import DeviceIndex, run_pairs
+    from locityper_tpu.parallel.mesh import make_mesh, sharded_recruit_pairs
+
+    rng = np.random.default_rng(0)
+    locus = sim.simulate_locus(rng, length=2000, n_haps=3)
+    counter = GenomeKmerCounter(25)
+    counter.add_seq(np.concatenate([sim.random_genome(rng, 5000),
+                                    locus.haplotypes[0]]))
+    counter.finalize()
+    idx = TargetIndex(RecruitParams(match_frac=0.5))
+    idx.add_locus(ContigSet(locus.name, locus.hap_names, locus.haplotypes),
+                  off_target_counts(counter, locus.haplotypes,
+                                    locus.haplotypes[0]))
+    idx.finalize()
+    dev = DeviceIndex.from_index(idx)
+    B, L = 64, 128
+    r1 = np.full((B, L), 4, np.int8)
+    r2 = np.full((B, L), 4, np.int8)
+    for i in range(B):
+        s = int(rng.integers(0, 1800))
+        r1[i, :120] = locus.haplotypes[i % 3][s:s + 120]
+        r2[i, :120] = dna.revcomp(locus.haplotypes[0][s:s + 120])
+        if i % 5 == 0:                         # non-recruiting noise
+            r1[i, :120] = rng.integers(0, 4, 120)
+            r2[i, :120] = rng.integers(0, 4, 120)
+    single = run_pairs(dev, r1, r2)
+    mesh = make_mesh()
+    sharded = np.asarray(sharded_recruit_pairs(
+        mesh, dev.cfg, r1, r2, dev.keys_signed, dev.fw_mask, dev.bw_mask,
+        dev.rare_mask))
+    np.testing.assert_array_equal(sharded, single)
+    assert single.any() and not single.all()
