@@ -8,17 +8,15 @@ matrix (:544-608), on-disk layout per utils/paths.py.
 """
 from __future__ import annotations
 
-import json
 from pathlib import Path
 
 import numpy as np
 
-from ..seq import dna, fastx
-from ..seq.contigs import Interval
-from ..seq.counts import GenomeKmerCounter, KmerCounts, off_target_counts
+from ..seq import fastx
+from ..seq.counts import GenomeKmerCounter, off_target_counts
 from ..seq.kmers import sorted_minimizer_set, jaccard_distance
 from ..utils import paths
-from ..utils.io import Rerun, atomic_write, smart_create, write_success
+from ..utils.io import Rerun, smart_create, write_success
 from ..utils.logging import get_logger
 
 logger = get_logger("add")

@@ -11,7 +11,7 @@ import numpy as np
 
 from ..seq import fastx
 from ..seq.contigs import ContigSet
-from ..seq.counts import GenomeKmerCounter, KmerCounts, off_target_counts
+from ..seq.counts import KmerCounts
 from ..seq.recruit import RecruitParams
 from ..utils.io import smart_create
 from ..utils.logging import get_logger

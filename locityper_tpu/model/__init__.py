@@ -1,7 +1,7 @@
 """Genotyping model: read×haplotype likelihoods, windows, assignment tensors."""
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 

@@ -28,7 +28,6 @@ import numpy as np
 from ..bg import BgDistr
 from ..bg.err_prof import EditDistCache
 from ..ops import align as A
-from ..seq import dna
 from ..seq.contigs import ContigSet
 from ..seq.counts import KmerCounts
 from ..seq.kmers import canonical_kmers, minimizers32

@@ -20,7 +20,6 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from ..seq import dna
 from ..seq.compl import linguistic_complexity
 from ..seq.contigs import ContigSet
 from ..seq.counts import KmerCounts

@@ -387,7 +387,7 @@ def estimate_bg_from_sim(reads1, reads2, region_seq, region_counter,
     from .bg.insertsz import InsertDistr
     from .bg.err_prof import ErrorProfile
     from .bg.windows import BgWindows
-    from .model.locs import HapMinimizerIndex, _align_candidates, _dedup_mate_alns
+    from .model.locs import HapMinimizerIndex, _align_candidates
     from .ops import align as A
     from .seq.contigs import ContigSet
 

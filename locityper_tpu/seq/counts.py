@@ -29,7 +29,7 @@ from pathlib import Path
 
 import numpy as np
 
-from .kmers import canonical_kmers, UNDEF
+from .kmers import canonical_kmers
 
 MAX_COUNT = np.uint16(65535)
 

@@ -7,7 +7,6 @@ shape the device kernels operate on.  Gzip handled transparently.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from pathlib import Path
 
 import numpy as np
 

@@ -7,7 +7,7 @@ unit-level oracles throughout tests/.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 
