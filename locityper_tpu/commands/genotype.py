@@ -422,14 +422,20 @@ def recruit_reads(loci: dict, read_iter, recruit_params: RecruitParams,
 
 
 def recruit_reads_fast(loci: dict, path1, path2, recruit_params: RecruitParams,
-                       subsample=None, seed=0, batch=8192, max_len=192):
+                       subsample=None, seed=0, batch=8192, max_len=None):
     """Native-parser + device-kernel recruitment for paired FASTQ inputs:
     the whole path from bytes to per-locus read lists avoids per-read
     Python, with double-buffered dispatch (the device classifies batch N
     while the host parses N+1 and scatters N-1).
-    Returns ({locus: (read_pairs, names)}, reads/s)."""
+    Returns ({locus: (read_pairs, names)}, reads/s).
+
+    max_len=None sizes the batch width from the files' leading records
+    (64-bucketed); a longer read appearing mid-stream restarts the whole
+    pass at the wider bucket — reads are NEVER clipped (the reference
+    recruiter always sees full sequences, recruit.rs:852-932)."""
     from ..ops.recruit import DeviceIndex, run_pairs_async
-    from ..seq.fastx import fast_paired_batches
+    from ..seq.fastx import (fast_paired_batches, MaxLenExceeded,
+                             probe_fastq_max_len, _bucket_len)
 
     index = TargetIndex(recruit_params)
     order = list(loci)
@@ -439,6 +445,28 @@ def recruit_reads_fast(loci: dict, path1, path2, recruit_params: RecruitParams,
     dev = DeviceIndex.from_index(index)
     logger.info("Recruitment index: %d minimizers over %d loci (device)",
                 index.keys.size, index.n_loci)
+    if max_len is None:
+        max_len = _bucket_len(probe_fastq_max_len((path1, path2)))
+    while True:
+        try:
+            return _recruit_fast_pass(order, loci, dev, path1, path2,
+                                      subsample, seed, batch, max_len)
+        except MaxLenExceeded as exc:
+            new_len = _bucket_len(exc.max_seen)
+            logger.warning(
+                "Read of %d bp exceeds the %d bp batch width; restarting "
+                "recruitment at width %d (no reads are ever clipped)",
+                exc.max_seen, max_len, new_len)
+            max_len = new_len
+
+
+def _recruit_fast_pass(order, loci, dev, path1, path2, subsample, seed,
+                       batch, max_len):
+    """One full recruitment pass at a fixed batch width (recruit_reads_fast
+    restarts it on MaxLenExceeded)."""
+    from ..ops.recruit import run_pairs_async
+    from ..seq.fastx import fast_paired_batches
+
     out = {name: ([], []) for name in order}
     progress = Progress(logger, "reads")
     rng = np.random.default_rng(seed)

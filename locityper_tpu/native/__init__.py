@@ -59,7 +59,8 @@ def get_lib():
     lib.minimizers32.restype = ctypes.c_int64
     lib.parse_fastq.argtypes = [u8p, ctypes.c_int64, ctypes.c_int32,
                                 ctypes.c_int64, i8p, i32p, i64p, i32p,
-                                ctypes.POINTER(ctypes.c_int64)]
+                                ctypes.POINTER(ctypes.c_int64),
+                                ctypes.POINTER(ctypes.c_int32)]
     lib.parse_fastq.restype = ctypes.c_int64
     lib.fastq_complete_prefix.argtypes = [u8p, ctypes.c_int64]
     lib.fastq_complete_prefix.restype = ctypes.c_int64
@@ -287,7 +288,10 @@ def chain_align(codes1, codes2, anchors1, anchors2, k: int, max_gap: int,
 
 def parse_fastq_buffer(buf: bytes, max_len: int, max_reads: int):
     """Parses a decompressed FASTQ buffer into ([N, max_len] codes, lens,
-    names).  Returns (codes, lens, names, bytes_consumed)."""
+    names).  Returns (codes, lens, names, bytes_consumed, max_seen) where
+    max_seen is the longest TRUE sequence length in the parsed records —
+    max_seen > max_len means sequences were clipped and the caller must
+    re-size (reference recruitment never clips, recruit.rs:852-932)."""
     lib = get_lib()
     arr = np.frombuffer(buf, np.uint8)
     n = arr.size
@@ -296,9 +300,12 @@ def parse_fastq_buffer(buf: bytes, max_len: int, max_reads: int):
     name_off = np.empty(max_reads, np.int64)
     name_len = np.empty(max_reads, np.int32)
     consumed_c = ctypes.c_int64(0)
+    max_seen_c = ctypes.c_int32(0)
     cnt = lib.parse_fastq(arr, n, max_len, max_reads, codes.reshape(-1),
                           lens, name_off, name_len,
-                          ctypes.byref(consumed_c))
+                          ctypes.byref(consumed_c),
+                          ctypes.byref(max_seen_c))
     names = [buf[name_off[i]:name_off[i] + name_len[i]].decode()
              for i in range(cnt)]
-    return codes[:cnt], lens[:cnt], names, int(consumed_c.value)
+    return (codes[:cnt], lens[:cnt], names, int(consumed_c.value),
+            int(max_seen_c.value))

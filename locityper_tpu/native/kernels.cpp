@@ -147,12 +147,15 @@ int64_t minimizers32(const int8_t* codes, int64_t n, int32_t k, int32_t w,
 // FASTQ chunk parser: splits a decompressed FASTQ text buffer into encoded
 // reads.  Records must be complete 4-line records.  Returns #reads parsed;
 // out_codes is a flat buffer (each read padded to max_len with 4s),
-// out_lens the true lengths, out_name_off/out_name_len index into buf.
+// out_lens the stored (possibly clipped) lengths, out_name_off/out_name_len
+// index into buf.  max_seen_out (nullable) reports the maximum TRUE sequence
+// length encountered so callers can detect clipping and re-size max_len —
+// the reference recruiter always sees full reads (recruit.rs:852-932).
 // ---------------------------------------------------------------------------
 int64_t parse_fastq(const uint8_t* buf, int64_t n, int32_t max_len,
                     int64_t max_reads, int8_t* out_codes, int32_t* out_lens,
                     int64_t* out_name_off, int32_t* out_name_len,
-                    int64_t* consumed_out) {
+                    int64_t* consumed_out, int32_t* max_seen_out) {
     init_enc();
     int64_t i = 0, r = 0;
     if (consumed_out) *consumed_out = 0;
@@ -181,6 +184,8 @@ int64_t parse_fastq(const uint8_t* buf, int64_t n, int32_t max_len,
         if (i - qual_start != seq_len) break;  // malformed
         if (i < n) i++;
 
+        if (max_seen_out && seq_len > *max_seen_out)
+            *max_seen_out = (int32_t)seq_len;
         int32_t L = seq_len < max_len ? (int32_t)seq_len : max_len;
         int8_t* dst = out_codes + r * (int64_t)max_len;
         for (int32_t j = 0; j < L; j++) dst[j] = ENC[buf[seq_start + j]];

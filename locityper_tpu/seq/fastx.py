@@ -121,16 +121,61 @@ def mean_read_len(path, max_reads: int = 1000) -> float:
     return total / max(n, 1)
 
 
-def fast_paired_batches(path1, path2, batch: int = 4096, max_len: int = 192):
+class MaxLenExceeded(Exception):
+    """A read longer than the batch width appeared mid-stream.  Carries the
+    longest true length seen so the caller can re-size and retry — reference
+    recruitment always sees full reads (recruit.rs:852-932), so silent
+    clipping is never acceptable."""
+
+    def __init__(self, max_seen: int):
+        super().__init__(f"read of {max_seen} bp exceeds the batch width")
+        self.max_seen = max_seen
+
+
+def _bucket_len(n: int) -> int:
+    """Device-shape bucketing for read widths: 64-multiples, floor 192 (the
+    historical short-read width, keeps compiled-kernel shapes stable)."""
+    return max(192, -(-int(n) // 64) * 64)
+
+
+def probe_fastq_max_len(paths, n_bytes: int = 1 << 22) -> int:
+    """Longest sequence among the leading records of each file (one
+    decompressed chunk per file).  Sizes the dense batch width so typical
+    uniform-length libraries never trigger a mid-stream re-size."""
+    from ..utils.io import smart_open_bytes
+    longest = 0
+    for path in paths:
+        with smart_open_bytes(path) as f:
+            data = f.read(n_bytes)
+        lines = data.split(b"\n")
+        # Sequence is line 2 of each 4-line record; drop the (possibly
+        # truncated) final line.
+        for i in range(1, max(len(lines) - 1, 1), 4):
+            if len(lines[i]) > longest:
+                longest = len(lines[i])
+    return longest
+
+
+def fast_paired_batches(path1, path2, batch: int = 4096,
+                        max_len: int | None = None):
     """Streams paired FASTQ files as dense batches using the native C++
     parser (locityper_tpu/native): yields (names, m1 [B, max_len] int8,
     lens1, m2, lens2, count).  Decompression stays in Python (zlib C under
     the hood); record parsing and encoding run natively.  Falls back to the
-    Python reader when the native library is unavailable."""
+    Python reader when the native library is unavailable.
+
+    max_len=None sizes the batch width from the files' leading records
+    (64-bucketed, floor 192).  If a longer read appears mid-stream, raises
+    MaxLenExceeded instead of clipping — callers retry with the reported
+    width (reference recruitment never clips reads, recruit.rs:852-932)."""
     from .. import native
+    if max_len is None:
+        max_len = _bucket_len(probe_fastq_max_len((path1, path2)))
     if not native.available():
         names, r1s, r2s = [], [], []
         for r1, r2 in read_pairs(path1, path2):
+            if r1.seq.size > max_len or r2.seq.size > max_len:
+                raise MaxLenExceeded(max(r1.seq.size, r2.seq.size))
             names.append(r1.name)
             r1s.append(r1.seq)
             r2s.append(r2.seq)
@@ -162,8 +207,10 @@ def fast_paired_batches(path1, path2, batch: int = 4096, max_len: int = 192):
                     if not data and not buf:
                         return
                     buf += data
-                    codes, lens, names, consumed = native.parse_fastq_buffer(
-                        buf, max_len, batch * 4)
+                    codes, lens, names, consumed, max_seen = \
+                        native.parse_fastq_buffer(buf, max_len, batch * 4)
+                    if max_seen > max_len:
+                        raise MaxLenExceeded(max_seen)
                     if consumed == 0 and not data:
                         return
                     buf = buf[consumed:]

@@ -42,15 +42,25 @@ class TestNativeFastq:
     def test_parse_buffer(self):
         buf = (b"@read1 extra\nACGT\n+\nIIII\n"
                b"@read2\nGGGTTT\n+\nIIIIII\n")
-        codes, lens, names, consumed = native.parse_fastq_buffer(buf, 8, 10)
+        codes, lens, names, consumed, max_seen = native.parse_fastq_buffer(
+            buf, 8, 10)
         assert names == ["read1", "read2"]
         assert lens.tolist() == [4, 6]
         assert dna.decode(codes[0][:4]) == "ACGT"
         assert dna.decode(codes[1][:6]) == "GGGTTT"
         assert consumed == len(buf)
+        assert max_seen == 6
 
     def test_incomplete_record(self):
         buf = b"@read1\nACGT\n+\nIIII\n@read2\nGGG"
-        codes, lens, names, consumed = native.parse_fastq_buffer(buf, 8, 10)
+        codes, lens, names, consumed, max_seen = native.parse_fastq_buffer(
+            buf, 8, 10)
         assert names == ["read1"]
         assert consumed == 19  # only the first record is complete
+
+    def test_max_seen_reports_clipping(self):
+        buf = b"@long\n" + b"A" * 20 + b"\n+\n" + b"I" * 20 + b"\n"
+        codes, lens, names, consumed, max_seen = native.parse_fastq_buffer(
+            buf, 8, 10)
+        assert lens.tolist() == [8]       # stored length is clipped...
+        assert max_seen == 20             # ...but the true length surfaces
