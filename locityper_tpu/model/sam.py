@@ -116,16 +116,17 @@ def write_sam(path, gt, tensors, hap_names, hap_lens, read_names,
               assignments: np.ndarray, read_weights=None, all_alns=None,
               read_pairs=None, hap_seqs=None, score_vec=None,
               band: int = 48) -> None:
-    """Writes one SAM file for genotype `gt` = (h1, h2).
+    """Writes one SAM file for genotype `gt` = (h_0..h_{P-1}), any ploidy.
 
     tensors: model.assgn.LocusTensors; assignments: [A, R] final slot per
-    attempt from the solver (slot layout: [0..Kh) = h1, [Kh..2Kh) = h2,
-    2Kh = unmapped).  When `all_alns`/`read_pairs`/`hap_seqs`/`score_vec`
+    attempt from the solver (slot layout: [s·Kh..(s+1)·Kh) = hap copy s,
+    P·Kh = unmapped).  When `all_alns`/`read_pairs`/`hap_seqs`/`score_vec`
     are provided, records carry real CIGAR/POS/SEQ re-derived by the host
     traceback kernel; otherwise positions fall back to alignment middles.
     """
     kh = tensors.kh
-    n_slots = 2 * kh + 1
+    ploidy = len(gt)
+    n_slots = ploidy * kh + 1
     top, freq = assignment_frequencies(assignments, n_slots)
     full = (all_alns is not None and read_pairs is not None
             and hap_seqs is not None and score_vec is not None)
@@ -141,11 +142,11 @@ def write_sam(path, gt, tensors, hap_names, hap_lens, read_names,
             tags = f"XF:f:{p:.3f}"
             if read_weights is not None:
                 tags += f"\tXW:f:{read_weights[r]:.3f}"
-            if slot == 2 * kh:
+            if slot == ploidy * kh:
                 f.write(f"{name}\t4\t*\t0\t0\t*\t*\t0\t0\t*\t*\t{tags}\n")
                 continue
-            hap = gt[0] if slot < kh else gt[1]
-            k = slot if slot < kh else slot - kh
+            hap = gt[slot // kh]
+            k = slot % kh
             cand = None
             if full:
                 cand = _slot_to_cand(all_alns.reads[r], hap, k, kh)

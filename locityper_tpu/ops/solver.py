@@ -65,26 +65,30 @@ class SolverConfig:
 
 
 def _gather_candidates(hap_prob, hap_mid, unmapped_prob, gt, prob_diff):
-    """Candidates of genotype gt = (h1, h2): [R, K = 2·Kh + 1] arrays.
-    Last slot is the both-unmapped state (windows.rs:762-797).
+    """Candidates of genotype gt = (h_0..h_{P-1}): [R, K = P·Kh + 1] arrays
+    (P = ploidy = gt.shape[0], a static shape under jit/vmap).  Last slot is
+    the all-unmapped state (windows.rs:762-797; the reference supports
+    arbitrary ploidy, genotype.rs:1077-1108).
 
     unmapped_prob: [R], or [H, R] per-haplotype rows (multi-locus panel
     solving shares the read axis across loci; each locus's haplotype rows
     carry its own unmapped penalties — solvers/solve.py:solve_panel)."""
-    h1, h2 = gt[0], gt[1]
-    p1, p2 = hap_prob[h1], hap_prob[h2]            # [R, Kh]
-    m1, m2 = hap_mid[h1], hap_mid[h2]              # [R, Kh, 2]
+    P = gt.shape[0]
+    ps = [hap_prob[gt[s]] for s in range(P)]       # each [R, Kh]
+    ms = [hap_mid[gt[s]] for s in range(P)]        # each [R, Kh, 2]
     if unmapped_prob.ndim == 2:
-        unmapped_prob = unmapped_prob[h1]
-    R = p1.shape[0]
-    probs = jnp.concatenate([p1, p2, unmapped_prob[:, None]], axis=1)
-    mids = jnp.concatenate([m1, m2, jnp.full((R, 1, 2), -1, m1.dtype)], axis=1)
-    slots = jnp.concatenate([
-        jnp.zeros_like(p1, jnp.int32), jnp.ones_like(p2, jnp.int32),
-        jnp.full((R, 1), 0, jnp.int32)], axis=1)
+        unmapped_prob = unmapped_prob[gt[0]]
+    R = ps[0].shape[0]
+    probs = jnp.concatenate(ps + [unmapped_prob[:, None]], axis=1)
+    mids = jnp.concatenate(ms + [jnp.full((R, 1, 2), -1, ms[0].dtype)],
+                           axis=1)
+    slots = jnp.concatenate(
+        [jnp.full_like(p, s, jnp.int32) for s, p in enumerate(ps)]
+        + [jnp.full((R, 1), 0, jnp.int32)], axis=1)
     # Threshold: max(unmapped, best per hap) - prob_diff.
-    best = jnp.maximum(jnp.maximum(jnp.max(p1, 1), jnp.max(p2, 1)),
-                       unmapped_prob)
+    best = unmapped_prob
+    for p in ps:
+        best = jnp.maximum(best, jnp.max(p, 1))
     thresh = best - prob_diff
     valid = probs >= thresh[:, None]
     # The unmapped candidate stays valid as a fallback if nothing else is.
@@ -104,15 +108,16 @@ def _window_tables(key, gt, pack_nwin, pack_regstart, pack_len, gc_at, weight_at
                    wsize, tweak, max_windows):
     """Per-attempt tweaked window characteristics.
 
-    Returns (win_gc [W], win_weight [W]) with W = 2 + 2·max_windows; slots
-    0/1 (unmapped/boundary) have weight 0 (trivial).  Window i of slot s has
-    a random start shift in [-min(tweak,start), +min(tweak, len-end)]
-    (windows.rs:478-486)."""
-    W = 2 + 2 * max_windows
+    Returns (win_gc [W], win_weight [W]) with W = 2 + P·max_windows
+    (P = ploidy); slots 0/1 (unmapped/boundary) have weight 0 (trivial).
+    Window i of hap copy s has a random start shift in
+    [-min(tweak,start), +min(tweak, len-end)] (windows.rs:478-486)."""
+    P = gt.shape[0]
+    W = 2 + P * max_windows
     win_gc = jnp.zeros(W, jnp.int32)
     win_weight = jnp.zeros(W, jnp.float32)
-    offs = jnp.array([2, 2 + max_windows])
-    for s in range(2):
+    offs = jnp.array([2 + s * max_windows for s in range(P)])
+    for s in range(P):
         h = gt[s]
         n = pack_nwin[h]
         starts = pack_regstart[h] + wsize * jnp.arange(max_windows)
@@ -137,12 +142,12 @@ def _read_windows(key, gt, mids, slots, pack_nwin, pack_regstart, wsize, tweak,
     """Maps candidate middles to window indices with per-candidate random
     tweaks (define_windows_random, windows.rs:123-136).  mids [R, K, 2]."""
     R, K, _ = mids.shape
+    P = gt.shape[0]
     t = jax.random.randint(key, (R, K, 2), 0, 2 * tweak + 1)
-    hap = gt[jnp.clip(slots, 0, 1)]                        # [R, K]
+    hap = gt[jnp.clip(slots, 0, P - 1)]                    # [R, K]
     n = pack_nwin[hap][..., None]
     reg = pack_regstart[hap][..., None]
-    wshift = jnp.where(slots == 0, REG_WINDOW_SHIFT,
-                       REG_WINDOW_SHIFT + max_windows)[..., None]
+    wshift = (REG_WINDOW_SHIFT + slots * max_windows)[..., None]
     m = mids + t
     w = (m - reg) // wsize
     inside = (m >= reg) & (w >= 0) & (w < n)
@@ -426,7 +431,8 @@ def solve_genotypes(key, genotypes, hap_prob, hap_mid, unmapped_prob,
                     max_windows: int, random_init: bool = True):
     """Evaluates a batch of genotypes.
 
-    genotypes: [G, 2] int32 haplotype ids.
+    genotypes: [G, P] int32 haplotype ids (P = ploidy; the reference
+    enumerates arbitrary ploidy, genotype.rs:1077-1108).
     Returns (liks [G, n_attempts] f32, assignments [G, n_attempts, R] int32).
     """
     keys = jax.random.split(key, genotypes.shape[0])

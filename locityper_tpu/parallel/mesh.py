@@ -55,7 +55,7 @@ def auto_mesh() -> Mesh | None:
 
 
 def sharded_stage_solver(mesh: Mesh, run_solver, key, gts: np.ndarray):
-    """Genotype-sharded solver stage: the padded [G, 2] genotype chunk splits
+    """Genotype-sharded solver stage: the padded [G, P] genotype chunk splits
     over the FULL mesh and every device runs the stage engine (the Pallas
     chains-in-lanes kernel on TPU) on its local genotypes — the reference's
     solver worker pool (solve.rs:969-1127) expressed as a shard_map, with
@@ -82,11 +82,12 @@ def sharded_stage_solver(mesh: Mesh, run_solver, key, gts: np.ndarray):
 def sharded_filter_scores(mesh: Mesh, best_aln: jnp.ndarray,
                           genotypes: jnp.ndarray, priors: jnp.ndarray):
     """Stage-0 filter with reads sharded over the "read" axis:
-    score[g] = prior[g] + Σ_r max(best_aln[h1, r], best_aln[h2, r]).
+    score[g] = prior[g] + Σ_r max_h∈gt best_aln[h, r] (genotypes [G, P]).
     The read-sum is a psum over ICI (solve.rs:87-122 redistributed)."""
     def local(best_aln_shard, genotypes, priors):
-        gt_best = jnp.maximum(best_aln_shard[genotypes[:, 0]],
-                              best_aln_shard[genotypes[:, 1]])
+        gt_best = best_aln_shard[genotypes[:, 0]]
+        for p in range(1, genotypes.shape[1]):
+            gt_best = jnp.maximum(gt_best, best_aln_shard[genotypes[:, p]])
         partial = jnp.sum(gt_best, axis=1)
         total = jax.lax.psum(partial, "read")
         return priors + total

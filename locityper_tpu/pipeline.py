@@ -101,17 +101,9 @@ def genotype_locus(locus: LocusData, read_pairs, names, bg: BgDistr,
     finally:
         if sol_writer is not None:
             sol_writer.close()
-    if prep["haploid"]:
-        _strip_dummy_hap(result, len(locus.contig_set.seqs))
     _finalize_locus(result, locus, all_alns, prep["tensors"], bg, params,
                     ploidy, read_pairs, sam_dir)
     return result, stats
-
-
-def _strip_dummy_hap(result, n_real: int) -> None:
-    """Removes the haploid-mode dummy haplotype id from result genotypes."""
-    result.genotypes = [tuple(h for h in gt if h < n_real)
-                        for gt in result.genotypes]
 
 
 def _prepare_solve_inputs(locus: LocusData, all_alns, bg: BgDistr,
@@ -133,58 +125,9 @@ def _prepare_solve_inputs(locus: LocusData, all_alns, bg: BgDistr,
     n_haps = len(locus.contig_set.seqs)
     hnames = locus.contig_set.contigs.names
     dist_matrix = locus.dist_matrix
-    if ploidy > 2:
-        raise ValueError(f"ploidy {ploidy} is not supported (the device "
-                         "tensors are diploid-shaped; use 1 or 2)")
-    haploid = ploidy == 1
-    if haploid:
-        # Haploid genotyping through the diploid kernel: pair every
-        # haplotype with a DUMMY haplotype that has no candidates and no
-        # windows, so the genotype's window set and candidate list are
-        # exactly the single haplotype's (genotype.rs supports arbitrary
-        # ploidy; our tensors are [.., 2]-shaped).  The dummy id is
-        # stripped from results before output.
-        from .ops.solver import NEG
-        H, R, K = tensors.hap_prob.shape
-        tensors = LocusTensors(
-            np.concatenate([tensors.hap_prob,
-                            np.full((1, R, K), NEG, np.float32)]),
-            np.concatenate([tensors.hap_mid,
-                            np.full((1, R, K, 2), -1, np.int32)]),
-            tensors.unmapped_prob, H + 1, tensors.n_reads, K)
-        pack = ContigInfoPack(
-            n_haps=H + 1, max_len=pack.max_len,
-            max_windows=pack.max_windows,
-            n_windows=np.concatenate([pack.n_windows, [0]]).astype(np.int32),
-            reg_start=np.concatenate([pack.reg_start, [0]]).astype(np.int32),
-            contig_len=np.concatenate([pack.contig_len, [1]]).astype(
-                np.int32),
-            window_size=pack.window_size,
-            gc_at=np.concatenate([pack.gc_at,
-                                  np.zeros((1, pack.max_len), np.int32)]),
-            weight_at=np.concatenate(
-                [pack.weight_at, np.zeros((1, pack.max_len), np.float32)]))
-        if dist_matrix is not None:
-            dist_matrix = np.pad(dist_matrix, ((0, 1), (0, 1)))
-        dummy = n_haps
-        if priors:
-            entries = [(ids, lp) for ids, lp in sorted(priors.items())
-                       if np.isfinite(lp) and len(ids) == 1]
-            if not entries:
-                raise ValueError("No usable genotypes in the priors file "
-                                 "(ploidy 1)")
-            genotypes = np.array([[ids[0], dummy] for ids, _ in entries],
-                                 np.int32)
-            prior_vec = np.array([lp for _, lp in entries])
-            gt_names = [hnames[ids[0]] for ids, _ in entries]
-        else:
-            genotypes = np.array([[h, dummy] for h in range(n_haps)],
-                                 np.int32)
-            prior_vec = np.zeros(n_haps)
-            gt_names = list(hnames)
-        return dict(tensors=tensors, pack=pack, genotypes=genotypes,
-                    priors=prior_vec, gt_names=gt_names,
-                    dist_matrix=dist_matrix, haploid=True)
+    # Any ploidy runs natively: genotypes are [G, P] and the solver's
+    # candidate/window tensors scale as K = P·Kh + 1, W = 2 + P·max_windows
+    # (genotype.rs:1077-1108, ext/vec.rs:293-339).
     if priors:
         # The priors file DEFINES the genotype list (genotype.rs:1077-1101):
         # only listed genotypes with a finite prior are evaluated.
@@ -203,7 +146,7 @@ def _prepare_solve_inputs(locus: LocusData, all_alns, bg: BgDistr,
         gt_names = [",".join(hnames[h] for h in g.ids) for g in gts]
     return dict(tensors=tensors, pack=pack, genotypes=genotypes,
                 priors=prior_vec, gt_names=gt_names,
-                dist_matrix=dist_matrix, haploid=False)
+                dist_matrix=dist_matrix)
 
 
 def _finalize_locus(result, locus: LocusData, all_alns, tensors, bg: BgDistr,
@@ -213,16 +156,13 @@ def _finalize_locus(result, locus: LocusData, all_alns, tensors, bg: BgDistr,
     output (solve.rs:636-716, model/bam.rs)."""
     if not result.genotypes:
         return
-    # Unexplained reads (solve.rs:706-716).
+    # Unexplained reads (solve.rs:706-716), over all P haps of the call.
     best_gt = result.genotypes[0]
-    h1 = best_gt[0]
-    h2 = best_gt[1] if len(best_gt) > 1 else best_gt[0]
     n_real = tensors.n_reads
-    best_per_read = np.maximum(
-        tensors.hap_prob[h1, :n_real].max(axis=1),
-        tensors.hap_prob[h2, :n_real].max(axis=1))
+    best_per_read = np.max(
+        [tensors.hap_prob[h, :n_real].max(axis=1) for h in best_gt], axis=0)
     unm = (tensors.unmapped_prob if tensors.unmapped_prob.ndim == 1
-           else tensors.unmapped_prob[h1])
+           else tensors.unmapped_prob[best_gt[0]])
     result.unexpl_reads = int(np.sum(best_per_read < unm[:n_real] + 1e-8))
     if result.ln_probs.size and (np.isnan(result.ln_probs[0])
                                  or result.ln_probs[0] < -2.0 * np.log(10.0)):
@@ -332,9 +272,6 @@ def genotype_panel(entries: list, bg: BgDistr, params: Params | None = None,
             e = entries[ei]
             result = solved[item_ix]
             all_alns, stats = e["prebuilt"]
-            if preps[item_ix]["haploid"]:
-                _strip_dummy_hap(result,
-                                 len(e["locus"].contig_set.seqs))
             _finalize_locus(result, e["locus"], all_alns,
                             preps[item_ix]["tensors"], bg, params, ploidy,
                             e["read_pairs"], e.get("sam_dir"))

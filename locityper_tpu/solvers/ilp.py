@@ -24,37 +24,41 @@ from ..ops.solver import DEPTH_CAP, NEG, REG_WINDOW_SHIFT, BOUNDARY_WINDOW, \
 
 def assemble_genotype_host(gt, tensors, pack, bayes, prob_diff):
     """Host (numpy, deterministic) twin of ops/solver._gather_candidates +
-    window mapping with tweak = 0.  Returns (probs [R, K], wins [R, K, 2],
-    valid [R, K], win_gc [W], win_weight [W])."""
-    h1, h2 = gt
-    p1, p2 = tensors.hap_prob[h1], tensors.hap_prob[h2]
-    m1, m2 = tensors.hap_mid[h1], tensors.hap_mid[h2]
-    R = p1.shape[0]
-    probs = np.concatenate([p1, p2, tensors.unmapped_prob[:, None]], axis=1)
-    mids = np.concatenate([m1, m2, np.full((R, 1, 2), -1, m1.dtype)], axis=1)
-    slots = np.concatenate([np.zeros_like(p1, np.int32),
-                            np.ones_like(p2, np.int32),
-                            np.zeros((R, 1), np.int32)], axis=1)
-    best = np.maximum(np.maximum(p1.max(1), p2.max(1)), tensors.unmapped_prob)
+    window mapping with tweak = 0, for ANY ploidy P = len(gt)
+    (genotype.rs:1077-1108).  Returns (probs [R, K = P·Kh + 1],
+    wins [R, K, 2], valid [R, K], win_gc [W], win_weight [W])."""
+    P = len(gt)
+    ps = [tensors.hap_prob[h] for h in gt]
+    ms = [tensors.hap_mid[h] for h in gt]
+    unm = (tensors.unmapped_prob if tensors.unmapped_prob.ndim == 1
+           else tensors.unmapped_prob[gt[0]])
+    R = ps[0].shape[0]
+    probs = np.concatenate(ps + [unm[:, None]], axis=1)
+    mids = np.concatenate(ms + [np.full((R, 1, 2), -1, ms[0].dtype)], axis=1)
+    slots = np.concatenate(
+        [np.full_like(p, s, dtype=np.int32) for s, p in enumerate(ps)]
+        + [np.zeros((R, 1), np.int32)], axis=1)
+    best = unm
+    for p in ps:
+        best = np.maximum(best, p.max(1))
     valid = probs >= (best - prob_diff)[:, None]
     probs = np.where(valid, probs, NEG)
 
     wsize = pack.window_size
     max_w = pack.max_windows
-    hap = np.array(gt)[np.clip(slots, 0, 1)]
+    hap = np.array(gt)[np.clip(slots, 0, P - 1)]
     n = pack.n_windows[hap][..., None]
     reg = pack.reg_start[hap][..., None]
-    wshift = np.where(slots == 0, REG_WINDOW_SHIFT,
-                      REG_WINDOW_SHIFT + max_w)[..., None]
+    wshift = (REG_WINDOW_SHIFT + slots * max_w)[..., None]
     w = (mids - reg) // wsize
     inside = (mids >= reg) & (w >= 0) & (w < n)
     wins = np.where(inside, w + wshift, BOUNDARY_WINDOW)
     wins = np.where(mids < 0, UNMAPPED_WINDOW, wins).astype(np.int32)
 
-    W = 2 + 2 * max_w
+    W = 2 + P * max_w
     win_gc = np.zeros(W, np.int32)
     win_weight = np.zeros(W, np.float32)
-    for s in range(2):
+    for s in range(P):
         h = gt[s]
         nw = pack.n_windows[h]
         starts = pack.reg_start[h] + wsize * np.arange(max_w)

@@ -158,7 +158,7 @@ def genotype_distance(gt1, gt2, dist_matrix: np.ndarray) -> float:
 class Genotyping:
     """Final result (solve.rs:556-767)."""
     tag: str
-    genotypes: list                 # [(h1, h2)] best..worst
+    genotypes: list                 # [(h_0..h_{P-1})] best..worst
     ln_probs: np.ndarray
     predictions: list
     quality: float
@@ -199,9 +199,10 @@ def run_filter(genotypes: np.ndarray, priors: np.ndarray,
                best_aln_matrix: np.ndarray, filt_diff: float,
                out_size: int) -> np.ndarray:
     """Stage-0 filter on alignment likelihood alone (solve.rs:87-122):
-    score(gt) = prior + Σ_r max_h∈gt best_aln[h, r]."""
-    gt_best = np.maximum(best_aln_matrix[genotypes[:, 0]],
-                         best_aln_matrix[genotypes[:, 1]])     # [G, R]
+    score(gt) = prior + Σ_r max_h∈gt best_aln[h, r].  genotypes [G, P]."""
+    gt_best = best_aln_matrix[genotypes[:, 0]]                 # [G, R]
+    for p in range(1, genotypes.shape[1]):
+        gt_best = np.maximum(gt_best, best_aln_matrix[genotypes[:, p]])
     scores = priors + gt_best.sum(axis=1)
     return select_by_scores(scores, filt_diff, out_size)
 
@@ -308,13 +309,13 @@ def _unpermute_assignments(assgns, gts, tensors, params):
     permutation is deterministic: valid-first stable order)."""
     out = np.empty_like(assgns)
     for gi, gt in enumerate(gts):
-        h1, h2 = int(gt[0]), int(gt[1])
-        p1 = tensors.hap_prob[h1]
-        p2 = tensors.hap_prob[h2]
+        ps = [tensors.hap_prob[int(h)] for h in gt]
         unm = (tensors.unmapped_prob if tensors.unmapped_prob.ndim == 1
-               else tensors.unmapped_prob[h1])
-        probs = np.concatenate([p1, p2, unm[:, None]], 1)
-        best = np.maximum(np.maximum(p1.max(1), p2.max(1)), unm)
+               else tensors.unmapped_prob[int(gt[0])])
+        probs = np.concatenate(ps + [unm[:, None]], 1)
+        best = unm
+        for p in ps:
+            best = np.maximum(best, p.max(1))
         valid = probs >= (best - params.prob_diff)[:, None]
         vorder = np.argsort(~valid, axis=-1, kind="stable")
         R = probs.shape[0]
@@ -493,7 +494,7 @@ class PanelItem:
     """One locus's solver inputs for `solve_panel`."""
     tensors: object                  # LocusTensors
     pack: object                     # ContigInfoPack
-    genotypes: np.ndarray            # [G, 2] local hap ids
+    genotypes: np.ndarray            # [G, P] local hap ids
     priors: np.ndarray               # [G]
     tag: str = "locus"
     dist_matrix: np.ndarray | None = None

@@ -143,8 +143,9 @@ class TestPriors:
 
 class TestHaploid:
     def test_ploidy_one_recovery(self):
-        """Ploidy-1 genotyping (dummy-haplotype pairing through the diploid
-        kernel): a haploid sample recovers its single haplotype."""
+        """Ploidy-1 genotyping (native [G, 1] genotypes through the
+        any-ploidy kernel): a haploid sample recovers its single
+        haplotype."""
         rng, locus, data = make_locus(seed=8)
         bg = make_bg()
         h = locus.true_genotype[0]
