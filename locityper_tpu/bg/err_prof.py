@@ -75,6 +75,78 @@ class ErrorProfile:
         return np.array([self.ln_match, self.ln_mismatch, self.ln_insertion,
                          self.ln_deletion, self.ln_clipping], dtype=np.float32)
 
+    def weighted_aln_ln_prob(self, ops, lens, ref_start: int, ref_end: int,
+                             weights: np.ndarray, contig_len: int):
+        """Region-weight-aware alignment ln-probability
+        (err_prof.rs:225-266 semantics as specialized in
+        model/windows.rs:508-575): every CIGAR op contributes
+        weight(ref position)·ln p_op; the total is re-normalized by
+        sum_len / sum_weight so regions with uniformly high or low weight
+        are not penalized globally — only RELATIVE weight differences
+        within one alignment matter.
+
+        ops/lens: traceback CIGAR (0 '=', 1 'X', 2 'I', 3 'D', 4 'S');
+        ref_start/ref_end: alignment span on the contig; weights: per-bp
+        explicit weights [contig_len].  Returns (ln_prob, edit,
+        read_aln_len) with edit/read_aln_len matching the unweighted
+        accounting (edit = X+I+D, read_aln_len = sum_len − dels)."""
+        op_prob = (self.ln_match, self.ln_mismatch, self.ln_insertion,
+                   self.ln_deletion, self.ln_clipping)
+        prob = 0.0
+        sum_weight = 0.0
+        sum_len = 0
+        sum_dels = 0
+        edit = 0
+        left_clip = right_clip = 0
+        first = True
+        rpos = int(ref_start)
+        for op, ln in zip(ops, lens):
+            op, ln = int(op), int(ln)
+            if op == 4:                       # soft clip: handled after
+                if first:
+                    left_clip = ln
+                else:
+                    right_clip = ln
+                first = False
+                continue
+            first = False
+            if op == 0:
+                shift = ln
+            elif op == 1:
+                shift = ln
+                edit += ln
+            elif op == 2:
+                shift = 0
+                edit += ln
+            elif op == 3:
+                shift = ln
+                edit += ln
+                sum_dels += ln
+            else:
+                raise ValueError(f"Unsupported CIGAR op {op}")
+            if shift == 0:
+                cw = ln * float(weights[min(rpos, contig_len - 1)])
+            else:
+                cw = float(weights[rpos:rpos + shift].sum())
+            prob += cw * op_prob[op]
+            sum_weight += cw
+            sum_len += ln
+            rpos += shift
+        # Clipping limited to the contig bounds (aln.rs:288-296), weighted
+        # at the alignment's terminal positions (windows.rs:552-563).
+        left_clip = min(left_clip, int(ref_start))
+        right_clip = min(right_clip, max(contig_len - int(ref_end), 0))
+        for rp, clip in ((int(ref_start), left_clip),
+                         (int(ref_end), right_clip)):
+            if clip > 0:
+                cw = clip * float(weights[min(rp, contig_len - 1)])
+                prob += cw * self.ln_clipping
+                sum_weight += cw
+                sum_len += clip
+        if sum_weight > 0:
+            prob *= sum_len / sum_weight
+        return prob, edit, sum_len - sum_dels
+
     def to_json(self):
         return dict(matches=self.ln_match, mismatches=self.ln_mismatch,
                     insertions=self.ln_insertion, deletions=self.ln_deletion,

@@ -777,8 +777,15 @@ def _run(args):
         if params.band is None:
             params.band = 48 if tech.are_short_reads else 160
         edit_cache = EditDistCache(bg.err_prof, EditThresh.default_for(tech))
+
+        def _panel_explicit(n):
+            if n not in weight_files:
+                return None
+            from ..model.windows import ExplicitWeights
+            return ExplicitWeights.load(weight_files[n])
+
         panel = [(recruited[n][0], recruited[n][1], loci[n].contig_set,
-                  loci[n].kmer_counts) for n in todo]
+                  loci[n].kmer_counts, _panel_explicit(n)) for n in todo]
         try:
             from ..parallel.mesh import auto_mesh
             built = build_all_alignments_panel(panel, bg, edit_cache, params,

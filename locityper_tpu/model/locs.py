@@ -751,16 +751,22 @@ def build_all_alignments(read_pairs, names, contig_set: ContigSet,
                          kmer_counts: KmerCounts, bg: BgDistr,
                          edit_cache: EditDistCache, params: Params,
                          minimizer_k: int = 15, minimizer_w: int = 10,
-                         mesh=None):
+                         mesh=None, explicit_weights=None):
     """The full locs pipeline, fully vectorized: candidates → device
     alignment → dedup → edit/bounds filters → weights → pairing →
     per-(read,hap) top-K.  `read_pairs`: list of (codes1, codes2|None).
+
+    explicit_weights: optional model.windows.ExplicitWeights — alignment
+    ln-probs are then recomputed per-op with region weights
+    (windows.rs:508-575 / err_prof.rs:225-266; the CIGARs come from the
+    host traceback kernel replayed at the stored DP windows).
 
     Semantics are bit-identical to `build_all_alignments_obj` (the readable
     per-read oracle below; guarded by tests/test_locs_parity.py)."""
     gen = _build_all_alignments_gen(read_pairs, names, contig_set,
                                     kmer_counts, bg, edit_cache, params,
-                                    minimizer_k, minimizer_w)
+                                    minimizer_k, minimizer_w,
+                                    explicit_weights=explicit_weights)
     req = next(gen)
     res = None
     if req is not None:
@@ -779,17 +785,22 @@ def build_all_alignments_panel(panel, bg: BgDistr, edit_cache: EditDistCache,
     Results are identical to per-locus `build_all_alignments` (guarded by
     tests/test_panel.py::test_panel_batched_equals_per_locus).
 
-    panel: list of (read_pairs, names, contig_set, kmer_counts).
+    panel: list of (read_pairs, names, contig_set, kmer_counts) tuples,
+    optionally with a 5th element (ExplicitWeights | None — per-locus
+    region-weighted alignment probs, windows.rs:508-575).
     Returns list of (AllAlignments, stats) in panel order.
     """
-    max_read = max((m.size for rp, _, _, _ in panel for pair in rp
+    max_read = max((m.size for item in panel for pair in item[0]
                     for m in pair if m is not None), default=64)
     L = -(-max_read // 64) * 64
     gens, reqs = [], []
-    for read_pairs, names, contig_set, kmer_counts in panel:
+    for item in panel:
+        read_pairs, names, contig_set, kmer_counts = item[:4]
+        ew = item[4] if len(item) > 4 else None
         g = _build_all_alignments_gen(read_pairs, names, contig_set,
                                       kmer_counts, bg, edit_cache, params,
-                                      minimizer_k, minimizer_w, panel_L=L)
+                                      minimizer_k, minimizer_w, panel_L=L,
+                                      explicit_weights=ew)
         reqs.append(next(g))
         gens.append(g)
     live = [i for i, r in enumerate(reqs) if r is not None]
@@ -809,11 +820,45 @@ def build_all_alignments_panel(panel, bg: BgDistr, edit_cache: EditDistCache,
     return [g.send(results[i]) for i, g in enumerate(gens)]
 
 
+def _reweight_aln_probs(tbl, mates, contig_set, err_prof, explicit_weights,
+                        score_vec, band: int) -> None:
+    """Recomputes tbl.prob in place with region-weight-aware per-op
+    probabilities (windows.rs:508-575 weighted_aln_prob; the reference
+    applies it to every stored alignment when `--reg-weights` is given).
+    CIGARs are replayed by the host traceback kernel at the stored DP
+    windows — the exact DP the scoring kernel ran."""
+    from ..ops import align as A
+    from ..ops import traceback as T
+    from ..seq import dna
+
+    names = contig_set.contigs.names
+    w_arrs = {}
+    for i in range(len(tbl)):
+        h = int(tbl.hap[i])
+        hap_seq = contig_set.seqs[h]
+        if h not in w_arrs:
+            w_arrs[h] = explicit_weights.per_bp(names[h], hap_seq.size)
+        codes = mates[int(tbl.mate[i])]
+        oriented = codes if tbl.fwd[i] else dna.revcomp(codes)
+        ws = int(tbl.ws[i])
+        win = A.extract_windows(hap_seq, np.array([ws]),
+                                oriented.size + band)[0]
+        out = T.align_cigar(oriented, win, band, score_vec)
+        if out is None:
+            continue
+        ops, lens, info, _ = out
+        prob, _edit, _ = err_prof.weighted_aln_ln_prob(
+            ops, lens, ws + int(info[0]), ws + int(info[1]), w_arrs[h],
+            hap_seq.size)
+        tbl.prob[i] = prob
+
+
 def _build_all_alignments_gen(read_pairs, names, contig_set: ContigSet,
                               kmer_counts: KmerCounts, bg: BgDistr,
                               edit_cache: EditDistCache, params: Params,
                               minimizer_k: int = 15, minimizer_w: int = 10,
-                              panel_L: int | None = None):
+                              panel_L: int | None = None,
+                              explicit_weights=None):
     """Coroutine body of `build_all_alignments`: yields ONE device-align
     request (reads, lens, wins, score_vec, band) — or None when no
     candidates — then receives the kernel outputs via .send() and yields
@@ -886,6 +931,10 @@ def _build_all_alignments_gen(read_pairs, names, contig_set: ContigSet,
     reps = order[first]                      # best row of each group
     reps = reps[np.argsort(grp_min_orig, kind="stable")]
     tbl = tbl.select(reps)
+
+    if explicit_weights is not None:
+        _reweight_aln_probs(tbl, mates, contig_set, bg.err_prof,
+                            explicit_weights, score_vec, params.band)
 
     # -- B) per-mate edit-distance thresholds (err_prof.rs:415-455).
     mate_len = np.fromiter((m.size for m in mates), np.int64, M)

@@ -70,7 +70,7 @@ def genotype_locus(locus: LocusData, read_pairs, names, bg: BgDistr,
     else:
         all_alns, stats = build_all_alignments(
             read_pairs, names, locus.contig_set, locus.kmer_counts, bg,
-            edit_cache, params, mesh=mesh)
+            edit_cache, params, mesh=mesh, explicit_weights=explicit_weights)
     logger.info("    [%s] %d/%d reads usable (%d poorly mapped, %d out of "
                 "bounds, %d low weight)", tag, all_alns.n_used,
                 stats["total"], stats["poorly_mapped"], stats["out_of_bounds"],
