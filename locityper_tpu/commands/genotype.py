@@ -793,9 +793,11 @@ def _run(args):
             panel_alns = dict(zip(todo, built))
             logger.info("Aligned %d loci in one device stream (%d reads)",
                         len(todo), sum(s["total"] for _, s in built))
-        except Exception:
-            logger.exception("panel-batched alignment failed; falling back "
-                             "to per-locus alignment")
+        except Exception as e:
+            logger.warning("panel-batched alignment failed (%s: %s); "
+                           "falling back to per-locus alignment",
+                           type(e).__name__, e)
+            logger.debug("panel alignment failure traceback", exc_info=True)
 
     def _locus_extras(name):
         explicit = None
@@ -837,9 +839,11 @@ def _run(args):
                                     scheme=scheme, seed=args.seed,
                                     ploidy=args.ploidy)
             panel_results = dict(zip(todo, solved))
-        except Exception:
-            logger.exception("panel-batched solving failed; falling back "
-                             "to per-locus solving")
+        except Exception as e:
+            logger.warning("panel-batched solving failed (%s: %s); "
+                           "falling back to per-locus solving",
+                           type(e).__name__, e)
+            logger.debug("panel solving failure traceback", exc_info=True)
 
     failures = 0
     for li, name in enumerate(todo):

@@ -55,8 +55,16 @@ def add_args(p):
     return p
 
 
+def _input_size(paths) -> int:
+    """Total input file size in bytes (preproc.rs sum_file_size)."""
+    return sum(Path(p).stat().st_size for p in paths)
+
+
 def _count_input(paths) -> tuple[int, int]:
-    """(total_reads, total_file_size) of the input files."""
+    """(total_reads, total_file_size) of the input files — a full scan.
+    Only used by --like (preproc.rs:1251-1263 counts the new sample on
+    demand); regular preproc counts during the recruitment stream
+    instead (single IO pass, preproc.rs:979)."""
     import gzip
     total_reads = 0
     total_size = 0
@@ -75,6 +83,21 @@ def _count_input(paths) -> tuple[int, int]:
     return total_reads, total_size
 
 
+class _CountingIter:
+    """Wraps a (name, seq1, seq2|None) read iterator, tallying yielded
+    records so preproc can store seq_info.total_reads without re-scanning
+    the input (one item = one read pair for paired data)."""
+
+    def __init__(self, it):
+        self._it = it
+        self.n_records = 0
+
+    def __iter__(self):
+        for item in self._it:
+            self.n_records += 1
+            yield item
+
+
 def run_like(args) -> int:
     """--like path: clone distributions, rescale depth (preproc.rs:1240-1352)."""
     from ..bg import BgDistr
@@ -85,10 +108,14 @@ def run_like(args) -> int:
         logger.info("Preprocessing already done, skipping")
         return 0
     bg = BgDistr.load(paths.bg_dir(args.like) / paths.BG_DISTR)
-    new_reads, new_size = _count_input(args.input)
-    if bg.insert_distr.is_paired_end:
-        new_reads //= 2   # stored counts are read *pairs* for paired data
+    new_size = _input_size(args.input)
+    new_reads = None
     if bg.seq_info.total_reads:
+        # Counting requires a full scan — only do it when the donor sample
+        # actually stored a count (preproc.rs:1246-1263).
+        new_reads, _ = _count_input(args.input)
+        if bg.insert_distr.is_paired_end:
+            new_reads //= 2   # stored counts are read *pairs* when paired
         rate = new_reads / bg.seq_info.total_reads
         how = f"read count ratio {new_reads}/{bg.seq_info.total_reads}"
     elif bg.seq_info.file_size:
@@ -199,8 +226,10 @@ def _recruit_bg_reads(args, genome, chrom, start, end, counter, tech):
     background region with the device recruitment kernel — the fix for
     round-1's first-200k-reads depth bias (preproc.rs:659-714 recruit-first
     + :1355-1397 BgRegion).  Returns (reads1, reads2, padded_region_seq,
-    subsampling_rate) where rate < 1 when --max-reads capped the recruited
-    set (depth estimation corrects for it, bg/depth.rs:268)."""
+    subsampling_rate, total_records) where rate < 1 when --max-reads
+    capped the recruited set (depth estimation corrects for it,
+    bg/depth.rs:268) and total_records counts the streamed input
+    (read pairs for paired data) so no second IO pass is needed."""
     from types import SimpleNamespace
 
     from ..seq.contigs import ContigSet
@@ -218,10 +247,9 @@ def _recruit_bg_reads(args, genome, chrom, start, end, counter, tech):
     bg_target = SimpleNamespace(
         contig_set=ContigSet("bg", ["bg"], [padded]),
         kmer_counts=padded_counts)
-    out, speed = recruit_reads({"bg": bg_target},
-                               _read_iter(args.input, args.interleaved,
-                                          reference=args.reference),
-                               params, seed=0)
+    stream = _CountingIter(_read_iter(args.input, args.interleaved,
+                                      reference=args.reference))
+    out, speed = recruit_reads({"bg": bg_target}, stream, params, seed=0)
     pairs, _names = out["bg"]
     logger.info("Recruited %d read%s to the background region (%.1fk reads/s)",
                 len(pairs), " pairs" if paired else "s", speed / 1e3)
@@ -239,7 +267,7 @@ def _recruit_bg_reads(args, genome, chrom, start, end, counter, tech):
     reads1 = [p[0] for p in pairs]
     reads2 = [p[1] for p in pairs] if (paired and pairs[0][1] is not None) \
         else []
-    return reads1, reads2, padded, rate
+    return reads1, reads2, padded, rate, stream.n_records
 
 
 def _fetch_bg_reads(args, genome, chrom, start, end):
@@ -311,6 +339,12 @@ def run(args):
     counter.finalize()
 
     rate = 1.0
+    # total_reads (pairs for paired data) is counted DURING the recruitment
+    # stream — never by a second IO pass (preproc.rs:979 counts in the
+    # mapping thread).  The indexed-fetch and --skip-recruitment paths
+    # never scan the whole input, so only file size is stored there and
+    # --like falls back to the file-size ratio (preproc.rs:1280-1300).
+    total_records = None
     fetched = None if args.skip_recruitment else _fetch_bg_reads(
         args, genome, chrom, start, end)
     if args.skip_recruitment:
@@ -328,15 +362,14 @@ def run(args):
             if reads2:
                 reads2 = [reads2[i] for i in sel]
     else:
-        reads1, reads2, region, rate = _recruit_bg_reads(
+        reads1, reads2, region, rate, total_records = _recruit_bg_reads(
             args, genome, chrom, start, end, counter, tech)
 
     bg = estimate_bg_from_sim(reads1, reads2, region, counter, tech,
                               debug_dir=bg_dir if args.debug else None,
                               subsampling_rate=rate)
-    total_reads, total_size = _count_input(args.input)
-    bg.seq_info.total_reads = total_reads // (2 if reads2 else 1)
-    bg.seq_info.file_size = total_size
+    bg.seq_info.total_reads = total_records
+    bg.seq_info.file_size = _input_size(args.input)
     bg.save(bg_dir / paths.BG_DISTR)
     write_success(bg_dir)
     bg_depth = bg.depth.depth_distribution(40)

@@ -21,54 +21,77 @@ class Read:
     qual: np.ndarray | None = None
 
 
-def read_fasta(path):
-    """Yields (name, codes) from a (possibly gzipped) FASTA file."""
+def _fasta_records(f):
     name = None
     chunks: list[str] = []
-    with smart_open(path) as f:
-        for line in f:
-            line = line.rstrip()
-            if not line:
-                continue
-            if line.startswith(">"):
-                if name is not None:
-                    yield name, dna.encode("".join(chunks))
-                name = line[1:].split()[0]
-                chunks = []
-            else:
-                chunks.append(line)
+    for line in f:
+        line = line.rstrip()
+        if not line:
+            continue
+        if line.startswith(">"):
+            if name is not None:
+                yield name, dna.encode("".join(chunks))
+            name = line[1:].split()[0]
+            chunks = []
+        else:
+            chunks.append(line)
     if name is not None:
         yield name, dna.encode("".join(chunks))
+
+
+def _fastq_records(f):
+    while True:
+        header = f.readline()
+        if not header:
+            return
+        seq = f.readline().rstrip()
+        f.readline()  # +
+        qual = f.readline().rstrip()
+        yield Read(header[1:].rstrip().split()[0], dna.encode(seq),
+                   np.frombuffer(qual.encode(), dtype=np.uint8) - 33)
+
+
+def read_fasta(path):
+    """Yields (name, codes) from a (possibly gzipped) FASTA file."""
+    with smart_open(path) as f:
+        yield from _fasta_records(f)
 
 
 def read_fastq(path):
     """Yields Read from a (possibly gzipped) FASTQ file."""
     with smart_open(path) as f:
-        while True:
-            header = f.readline()
-            if not header:
-                return
-            seq = f.readline().rstrip()
-            f.readline()  # +
-            qual = f.readline().rstrip()
-            yield Read(header[1:].rstrip().split()[0], dna.encode(seq),
-                       np.frombuffer(qual.encode(), dtype=np.uint8) - 33)
+        yield from _fastq_records(f)
 
 
 def read_fastx_auto(path):
-    """Dispatch on extension/first character: BAM (primary records), FASTA
-    (qual=None) or FASTQ."""
+    """Dispatch on extension/first line: BAM (primary records), FASTA
+    (qual=None) or FASTQ.  Sniffs and parses within ONE open so the file
+    is read exactly once (preproc counts IO passes)."""
     if str(path).endswith((".bam", ".cram")):
         from . import bam
         yield from bam.read_bam(path)
         return
+    from itertools import chain
     with smart_open(path) as f:
-        first = f.read(1)
-    if first == ">":
-        for name, codes in read_fasta(path):
-            yield Read(name, codes)
-    else:
-        yield from read_fastq(path)
+        first = f.readline()
+        if not first:
+            return
+        rest = chain([first], f)
+        if first.startswith(">"):
+            for name, codes in _fasta_records(rest):
+                yield Read(name, codes)
+        else:
+            # FASTQ via readline: replay the sniffed header line.
+            class _Replay:
+                def __init__(self, line, fh):
+                    self._line, self._fh = line, fh
+
+                def readline(self):
+                    if self._line is not None:
+                        line, self._line = self._line, None
+                        return line
+                    return self._fh.readline()
+            yield from _fastq_records(_Replay(first, f))
 
 
 def read_pairs(path1, path2=None, interleaved: bool = False):

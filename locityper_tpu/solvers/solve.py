@@ -562,8 +562,36 @@ def solve_panel(items: list, bg_distr, params: Params, scheme: Scheme, key,
     — stage-0 filter, stage skipping, culling, ranking — stay independent
     and match `solve_locus` (tests/test_panel.py).
 
+    Loci whose contigs were windowed at different sizes (different read
+    lengths at preproc time) cannot share one combined program — they are
+    bucketed by window size and each bucket solved in its own combined
+    program (VERDICT r2 weak #6; single-bucket panels are unaffected).
+
     Returns list[Genotyping] in `items` order.
     """
+    import jax
+
+    sizes = [it.pack.window_size for it in items]
+    if len(set(sizes)) > 1:
+        logger.info("    Panel spans %d window sizes — solving one combined "
+                    "program per size bucket", len(set(sizes)))
+        results: list = [None] * len(items)
+        for b_ix, ws in enumerate(sorted(set(sizes))):
+            sub = [li for li, s in enumerate(sizes) if s == ws]
+            sub_res = _solve_panel_group(
+                [items[li] for li in sub], bg_distr, params, scheme,
+                jax.random.fold_in(key, b_ix), gt_batch, mesh)
+            for li, r in zip(sub, sub_res):
+                results[li] = r
+        return results
+    return _solve_panel_group(items, bg_distr, params, scheme, key,
+                              gt_batch, mesh)
+
+
+def _solve_panel_group(items: list, bg_distr, params: Params, scheme: Scheme,
+                       key, gt_batch: int = 512, mesh=None) -> list:
+    """One combined multi-stage program over loci sharing a window size
+    (`solve_panel` body; see its docstring)."""
     import jax
 
     n_loci = len(items)

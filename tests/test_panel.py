@@ -239,3 +239,65 @@ def test_genotype_panel_out_sams_and_multistage(panel, tmp_path):
         sol = open(tmp_path / f"sol{i}.csv").read().splitlines()
         assert sol[0] == "stage\tgenotype\tscore"
         assert {l.split("\t")[0] for l in sol[1:]} == {"1", "2"}
+
+
+def test_solve_panel_mixed_window_sizes(panel):
+    """Loci windowed at different sizes must flow through solve_panel via
+    per-size bucketed programs (VERDICT r2 weak #6: previously an assert
+    that died into the per-locus fallback), matching per-locus solve_locus
+    calls."""
+    import jax
+    from locityper_tpu.bg.err_prof import EditDistCache, EditThresh
+    from locityper_tpu.model import Params
+    from locityper_tpu.model.assgn import LocusTensors
+    from locityper_tpu.model.locs import build_all_alignments
+    from locityper_tpu.model.windows import ContigInfoPack, build_contig_infos
+    from locityper_tpu.seq.contigs import Genotype
+    from locityper_tpu.solvers.solve import PanelItem, solve_locus, solve_panel
+
+    rng, loci, data, (r1, r2, names) = panel
+    idx = TargetIndex(RecruitParams(match_frac=0.5))
+    for d in data:
+        idx.add_locus(d.contig_set, d.kmer_counts)
+    idx.finalize()
+    per_locus = {i: ([], []) for i in range(len(loci))}
+    for a, b, name in zip(r1, r2, names):
+        for locus_ix in recruit_read_pair(idx, a, b):
+            per_locus[locus_ix][0].append((a, b))
+            per_locus[locus_ix][1].append(name)
+    bg = make_bg()
+    tech = bg.seq_info.technology
+    params = Params(unmapped_penalty=tech.default_unmapped_penalty())
+    params.set_tweak_size(bg.depth.window_size)
+    if params.band is None:
+        params.band = 48
+    edit_cache = EditDistCache(bg.err_prof, EditThresh.default_for(tech))
+    scheme = Scheme.parse(["anneal:i=6,a=6,n=2000,p=1000"])
+
+    wsizes = [bg.depth.window_size, 2 * bg.depth.window_size]
+    items, singles = [], []
+    for i in (0, 1):
+        alns, _ = build_all_alignments(per_locus[i][0], per_locus[i][1],
+                                       data[i].contig_set,
+                                       data[i].kmer_counts, bg, edit_cache,
+                                       params)
+        infos = build_contig_infos(data[i].contig_set, data[i].kmer_counts,
+                                   wsizes[i], max(wsizes[i], 300), params)
+        pack = ContigInfoPack.pack(infos)
+        assert pack.window_size == wsizes[i]
+        tensors = LocusTensors.build(alns)
+        gts = Genotype.generate_all(len(data[i].contig_set.seqs), 2)
+        genotypes = np.array([g.ids for g in gts], np.int32)
+        priors = np.zeros(len(gts))
+        items.append(PanelItem(tensors=tensors, pack=pack,
+                               genotypes=genotypes, priors=priors,
+                               tag=loci[i].name))
+        singles.append(solve_locus(tensors, pack, bg, genotypes, priors,
+                                   params, scheme, jax.random.PRNGKey(40 + i),
+                                   tag=loci[i].name))
+
+    solved = solve_panel(items, bg, params, scheme, jax.random.PRNGKey(9))
+    for i in (0, 1):
+        called_b = tuple(sorted(int(x) for x in solved[i].genotypes[0]))
+        called_s = tuple(sorted(int(x) for x in singles[i].genotypes[0]))
+        assert called_b == called_s == loci[i].true_genotype
