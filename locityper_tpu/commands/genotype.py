@@ -536,40 +536,49 @@ def _load_ref_intervals(db: Path, names):
     return out
 
 
-def _indexed_read_iter(bam_path, regions, padding: int = FETCH_PADDING):
-    """(name, seq1, seq2|None) via BAI indexed fetch over the padded,
-    merged locus regions plus the unplaced tail — the reference's
-    fetch-region recruitment for sorted+indexed inputs
-    (genotype.rs:792-870, fastx.rs:586-660).  Mates pair by name within
-    the fetched set; orphans (mate outside every region) pass as single."""
-    from ..seq import bai as baio
-
-    idx = baio.BaiIndex.load(str(bam_path) + ".bai")
-    with open(bam_path, "rb") as fh:
-        names, _lens = baio.read_header(baio.VirtualReader(fh))
-    rid_of = {n: i for i, n in enumerate(names)}
+def _merge_regions(regions, padding: int):
+    """{chrom: [(start, end), ...]} with padding applied and overlaps
+    merged (genotype.rs:792-870 assembles fetch regions the same way)."""
     per: dict = {}
     for chrom, s, e in regions:
         per.setdefault(chrom, []).append([max(s - padding, 0), e + padding])
+    for ivs in per.values():
+        ivs.sort()
+        merged = [ivs[0]]
+        for iv in ivs[1:]:
+            if iv[0] <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], iv[1])
+            else:
+                merged.append(iv)
+        ivs[:] = merged
+    return per
 
-    def records():
-        for chrom, ivs in per.items():
-            rid = rid_of.get(chrom)
-            if rid is None:
-                continue
-            ivs.sort()
-            merged = []
-            for iv in ivs:
-                if merged and iv[0] <= merged[-1][1]:
-                    merged[-1][1] = max(merged[-1][1], iv[1])
-                else:
-                    merged.append(iv)
-            for s, e in merged:
-                yield from baio.fetch(bam_path, idx, rid, s, e)
-        yield from baio.fetch_unplaced(bam_path, idx)
 
+def _indexed_plan(inputs, reference=None):
+    """[(kind, path)] when EVERY input is an alignment file with an index
+    on disk (.bam+.bai / .cram+.crai) — the only case where fetch-region
+    recruitment can replace the full scan; else None (fastx.rs:586-887:
+    htslib's indexed reader, any number of inputs)."""
+    plans = []
+    for p in inputs:
+        sp = str(p)
+        if sp.endswith(".bam") and Path(sp + ".bai").exists():
+            plans.append(("bai", p))
+        elif sp.endswith(".cram") and Path(sp + ".crai").exists():
+            if reference is None:
+                return None       # reference-based slices need the FASTA
+            plans.append(("crai", p))
+        else:
+            return None
+    return plans
+
+
+def _pair_fetched(records):
+    """(name, seq1, seq2|None) from a fetched record stream of ONE file:
+    mates pair by name within the fetched set; orphans (mate outside
+    every region) pass as single (fastx.rs:640-660)."""
     pending: dict = {}
-    for rec in records():
+    for rec in records:
         if not rec.is_paired:
             yield rec.name, rec.seq, None
             continue
@@ -581,6 +590,54 @@ def _indexed_read_iter(bam_path, regions, padding: int = FETCH_PADDING):
             yield r1.name, r1.seq, r2.seq
     for rec in pending.values():
         yield rec.name, rec.seq, None
+
+
+def _bai_records(bam_path, per):
+    from ..seq import bai as baio
+
+    idx = baio.BaiIndex.load(str(bam_path) + ".bai")
+    with open(bam_path, "rb") as fh:
+        names, _lens = baio.read_header(baio.VirtualReader(fh))
+    rid_of = {n: i for i, n in enumerate(names)}
+    for chrom, ivs in per.items():
+        rid = rid_of.get(chrom)
+        if rid is None:
+            continue
+        for s, e in ivs:
+            yield from baio.fetch(bam_path, idx, rid, s, e)
+    yield from baio.fetch_unplaced(bam_path, idx)
+
+
+def _crai_records(cram_path, per, reference):
+    from ..seq import crai as craio
+    from ..seq.cram import CramFile
+
+    idx = craio.CraiIndex.load(str(cram_path) + ".crai")
+    with CramFile(cram_path) as cf:
+        rid_of = {n: i for i, n in enumerate(cf.ref_names)}
+    for chrom, ivs in per.items():
+        rid = rid_of.get(chrom)
+        if rid is None:
+            continue
+        for s, e in ivs:
+            yield from craio.fetch(cram_path, idx, rid, s, e,
+                                   reference=reference)
+    yield from craio.fetch_unplaced(cram_path, idx, reference=reference)
+
+
+def _indexed_read_iter(plans, regions, padding: int = FETCH_PADDING,
+                       reference=None):
+    """(name, seq1, seq2|None) via indexed fetch over the padded, merged
+    locus regions plus the unplaced tail, across ANY number of indexed
+    BAM/CRAM inputs — the reference's fetch-region recruitment
+    (genotype.rs:792-870, fastx.rs:586-887).  Each input is an
+    independent read set; mates pair within their own file."""
+    per = _merge_regions(regions, padding)
+    for kind, path in plans:
+        if kind == "bai":
+            yield from _pair_fetched(_bai_records(path, per))
+        else:
+            yield from _pair_fetched(_crai_records(path, per, reference))
 
 
 def _is_alignment_file(path) -> bool:
@@ -688,20 +745,24 @@ def _run(args):
         else:
             need[name] = loci[name]
     if need:
-        if len(args.input) == 2 and tech.are_short_reads:
+        if (len(args.input) == 2 and tech.are_short_reads
+                and not _is_alignment_file(args.input[0])
+                and not _is_alignment_file(args.input[1])):
             rec, _ = recruit_reads_fast(
                 need, args.input[0], args.input[1], rp,
                 subsample=args.subsample, seed=args.seed)
         else:
             reads_iter = None
-            if (len(args.input) == 1 and str(args.input[0]).endswith(".bam")
-                    and Path(str(args.input[0]) + ".bai").exists()):
+            ref_fa = getattr(args, "reference", None)
+            plans = _indexed_plan(args.input, reference=ref_fa)
+            if plans is not None:
                 intervals = _load_ref_intervals(db, list(need))
                 if intervals is not None:
                     logger.info("Indexed input: fetching %d locus region(s) "
-                                "+ unplaced tail instead of a full scan",
-                                len(intervals))
-                    reads_iter = _indexed_read_iter(args.input[0], intervals)
+                                "+ unplaced tail from %d file(s) instead of "
+                                "a full scan", len(intervals), len(plans))
+                    reads_iter = _indexed_read_iter(plans, intervals,
+                                                    reference=ref_fa)
             if reads_iter is None:
                 reads_iter = _read_iter(
                     args.input, args.interleaved,

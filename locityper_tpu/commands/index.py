@@ -1,7 +1,7 @@
-"""`index` command: build a .bai for a coordinate-sorted BAM.
+"""`index` command: build a .bai / .crai for a coordinate-sorted BAM/CRAM.
 
 The reference relies on pre-indexed inputs (samtools index); this owns the
-builder (seq/bai.py) so indexed fetch-region recruitment
+builders (seq/bai.py, seq/crai.py) so indexed fetch-region recruitment
 (genotype.rs:792-870) works without external tools.
 """
 from __future__ import annotations
@@ -12,12 +12,19 @@ logger = get_logger("index")
 
 
 def add_args(p):
-    p.add_argument("input", help="Coordinate-sorted BAM file")
+    p.add_argument("input", help="Coordinate-sorted BAM or CRAM file")
     p.add_argument("-o", "--output", default=None,
-                   help="Index path [<input>.bai]")
+                   help="Index path [<input>.bai / <input>.crai]")
 
 
 def run(args):
+    if str(args.input).endswith(".cram"):
+        from ..seq.crai import build_crai
+        out = args.output or (str(args.input) + ".crai")
+        idx = build_crai(args.input, out)
+        logger.info("Indexed %s: %d slice entries -> %s", args.input,
+                    len(idx.entries), out)
+        return 0
     from ..seq.bai import build_bai
     out = args.output or (str(args.input) + ".bai")
     idx = build_bai(args.input, out)

@@ -271,46 +271,51 @@ def _recruit_bg_reads(args, genome, chrom, start, end, counter, tech):
 
 
 def _fetch_bg_reads(args, genome, chrom, start, end):
-    """Indexed-BAM path (preproc.rs:1180-1202): fetch the reads overlapping
-    the padded background region directly instead of scanning the whole
-    input; no recruitment needed (the fetch IS region restriction).
+    """Indexed-input path (preproc.rs:1180-1202): fetch the reads
+    overlapping the padded background region directly instead of scanning
+    the whole input — any mix of indexed BAM (.bai) / CRAM (.crai) files;
+    no recruitment needed (the fetch IS region restriction).
     Returns (reads1, reads2, padded_region) or None when not applicable."""
-    if not (args.input and len(args.input) == 1
-            and str(args.input[0]).endswith(".bam")
-            and Path(str(args.input[0]) + ".bai").exists()):
+    from .genotype import _bai_records, _crai_records, _indexed_plan
+
+    plans = _indexed_plan(args.input or [], reference=args.reference)
+    if not plans:
         return None
-    from ..seq import bai as baio
     seq = genome[chrom]
     pad_lo = max(start - BG_PADDING, 0)
     pad_hi = min(end + BG_PADDING, seq.size)
-    idx = baio.BaiIndex.load(str(args.input[0]) + ".bai")
-    with open(args.input[0], "rb") as fh:
-        names, _ = baio.read_header(baio.VirtualReader(fh))
-    try:
-        rid = names.index(chrom)
-    except ValueError:
-        return None
+    per = {chrom: [(pad_lo, pad_hi)]}
     pending = {}
     reads1, reads2 = [], []
     n_single = 0
-    for rec in baio.fetch(args.input[0], idx, rid, pad_lo, pad_hi):
-        if not rec.is_paired:
-            reads1.append(rec.seq)
-            n_single += 1
-            continue
-        other = pending.pop(rec.name, None)
-        if other is None:
-            pending[rec.name] = rec
-            continue
-        r1, r2 = (rec, other) if rec.mate_ix == 0 else (other, rec)
-        reads1.append(r1.seq)
-        reads2.append(r2.seq)
+    for kind, path in plans:
+        # Region-only fetch: unplaced tails are irrelevant for bg depth.
+        if kind == "bai":
+            recs = _bai_records(path, per)
+        else:
+            recs = _crai_records(path, per, args.reference)
+        for rec in recs:
+            if rec.pos < 0:
+                continue                  # unplaced tail record
+            if not rec.is_paired:
+                reads1.append(rec.seq)
+                n_single += 1
+                continue
+            other = pending.pop(rec.name, None)
+            if other is None:
+                pending[rec.name] = rec
+                continue
+            r1, r2 = (rec, other) if rec.mate_ix == 0 else (other, rec)
+            reads1.append(r1.seq)
+            reads2.append(r2.seq)
+        pending.clear()                   # mates never span input files
     if n_single and reads2:
         # keep the majority type; estimation needs a consistent layout
         if n_single > len(reads2):
             reads2 = []
     logger.info("Indexed input: fetched %d read(pair)s overlapping the "
-                "background region (no full scan)", len(reads1))
+                "background region from %d file(s) (no full scan)",
+                len(reads1), len(plans))
     if not reads1:
         return None
     return reads1, reads2, seq[pad_lo:pad_hi]

@@ -751,7 +751,11 @@ def _parse_compression_header(data: bytes) -> CompressionHeader:
 
 @dataclass
 class CramRecord:
-    """Decoded CRAM record, API-compatible with bam.BamRecord."""
+    """Decoded CRAM record, API-compatible with bam.BamRecord.
+
+    end: 0-based exclusive alignment end on the reference (pos +
+    reference-consumed length), -1 for unmapped — used by the CRAI
+    fetch path to filter records by region overlap."""
     name: str
     flag: int
     seq: np.ndarray
@@ -759,6 +763,7 @@ class CramRecord:
     ref_id: int
     pos: int
     mapq: int
+    end: int = -1
 
     @property
     def is_paired(self) -> bool:
@@ -781,6 +786,34 @@ def _decode_substitution(sub_matrix: bytes, ref_code: int, bs: int) -> int:
         if ((byte >> (6 - 2 * rank)) & 3) == bs:
             return alt
     return 4
+
+
+def _encode_substitution(sub_matrix: bytes, ref_code: int,
+                         alt_code: int) -> int:
+    """Inverse of _decode_substitution: BS code placing `alt_code` as the
+    substituted base over `ref_code`."""
+    rc = ref_code if ref_code < 5 else 4
+    alts = [b for b in range(5) if b != rc]
+    rank = alts.index(alt_code if alt_code < 5 else 4)
+    return (sub_matrix[rc] >> (6 - 2 * rank)) & 3
+
+
+def diff_features(seq: np.ndarray, refc: np.ndarray, pos: int,
+                  sub_matrix: bytes = b"\x1b" * 5) -> list:
+    """CRAM feature list storing `seq` against the reference slice at
+    `pos` as X substitutions (overhang past the contig end becomes a soft
+    clip) — lets CramWriter preserve actual read bases for mapped records
+    instead of silently reconstructing the reference."""
+    matched = max(min(int(seq.size), int(refc.size) - int(pos)), 0)
+    feats = []
+    ref_slice = refc[pos:pos + matched]
+    for i in np.nonzero(seq[:matched] != ref_slice)[0]:
+        feats.append(("X", int(i),
+                      _encode_substitution(sub_matrix, int(ref_slice[i]),
+                                           int(seq[i]))))
+    if matched < seq.size:
+        feats.append(("S", matched, seq[matched:]))
+    return feats
 
 
 def _decode_slice(ch: CompressionHeader, slice_blocks: list[Block],
@@ -971,9 +1004,14 @@ def _decode_slice(ch: CompressionHeader, slice_blocks: list[Block],
             seq = dna.revcomp(seq)
             if qual is not None:
                 qual = qual[::-1].copy()
-        records.append(CramRecord(name, bf, seq, qual, ref_id,
-                                  ap - 1 if not (bf & FLAG_UNMAPPED) else -1,
-                                  mapq))
+        if bf & FLAG_UNMAPPED:
+            pos0, end0 = -1, -1
+        else:
+            pos0 = ap - 1
+            # rpos ended 1-based one-past the last ref base consumed.
+            end0 = max(rpos - 1, pos0 + 1)
+        records.append(CramRecord(name, bf, seq, qual, ref_id, pos0, mapq,
+                                  end0))
     return records
 
 
@@ -984,23 +1022,24 @@ def _decode_slice(ch: CompressionHeader, slice_blocks: list[Block],
 SKIP_MASK = 0x100 | 0x200 | 0x400 | 0x800      # secondary/qcfail/dup/suppl
 
 
-def read_cram_records(path, reference=None, keep_flags: int = SKIP_MASK):
-    """Yields CramRecord for every primary record of a CRAM 3.x file.
+class CramFile:
+    """Seekable CRAM 3.x reader: parses the file definition and SAM-header
+    container once, then decodes data containers either sequentially or
+    from explicit file offsets (the CRAI fetch path, seq/crai.py).  The
+    reference reads indexed CRAM through htslib (fastx.rs:586-887)."""
 
-    reference: None, a dict {contig_name: codes}, or a FASTA path — needed
-    for reference-based slices (RR=true), like `samtools view -T`.
-    Counterpart of the reference's htslib CRAM path (fastx.rs:586-620).
-    """
-    path = str(path)
-    ref_map = None
-    if isinstance(reference, (str, Path)):
-        from . import fastx as _fastx
-        ref_map = dict(_fastx.read_fasta(str(reference)))
-    elif isinstance(reference, dict):
-        ref_map = reference
+    def __init__(self, path, reference=None):
+        self.path = str(path)
+        ref_map = None
+        if isinstance(reference, (str, Path)):
+            from . import fastx as _fastx
+            ref_map = dict(_fastx.read_fasta(str(reference)))
+        elif isinstance(reference, dict):
+            ref_map = reference
+        self._ref_map = ref_map
 
-    with open(path, "rb") as fh:
-        head = fh.read(26)
+        self._fh = open(self.path, "rb")
+        head = self._fh.read(26)
         if len(head) < 26 or head[:4] != CRAM_MAGIC:
             raise ValueError(f"{path}: not a CRAM file (bad/truncated "
                              "file definition)")
@@ -1008,65 +1047,121 @@ def read_cram_records(path, reference=None, keep_flags: int = SKIP_MASK):
         if major not in (2, 3):
             raise ValueError(f"{path}: CRAM major version {major} "
                              "not supported")
+        # SAM header container: extract @SQ names/lengths for ref lookup.
+        hdr = _read_container_header(self._fh)
+        if hdr is None:
+            raise ValueError(f"{path}: missing SAM header container")
+        body = self._fh.read(hdr.length)
+        br = ByteReader(body)
+        block = _read_block(br)
+        self.ref_names: list[str] = []
+        self.ref_lens: list[int] = []
+        raw = block.data
+        if len(raw) >= 4:
+            (l_text,) = struct.unpack("<i", raw[:4])
+            text = raw[4:4 + l_text].decode(errors="replace")
+            for line in text.splitlines():
+                if line.startswith("@SQ"):
+                    name, ln = None, 0
+                    for fld in line.split("\t"):
+                        if fld.startswith("SN:"):
+                            name = fld[3:]
+                        elif fld.startswith("LN:"):
+                            ln = int(fld[3:])
+                    if name is not None:
+                        self.ref_names.append(name)
+                        self.ref_lens.append(ln)
+        self.data_start = self._fh.tell()
 
-        ref_names: list[str] = []
-        counter = 0
-        first = True
+    def close(self):
+        self._fh.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        self.close()
+
+    def containers(self, offset: int | None = None):
+        """Yields (file_offset, ContainerHeader) for data containers,
+        starting at `offset` (default: first data container), WITHOUT
+        decoding bodies (used by crai.build_crai)."""
+        self._fh.seek(self.data_start if offset is None else offset)
         while True:
-            hdr = _read_container_header(fh)
+            off = self._fh.tell()
+            hdr = _read_container_header(self._fh)
             if hdr is None:
-                break
-            body = fh.read(hdr.length)
+                return
             if hdr.ref_seq_id == -1 and hdr.start == _EOF_START and \
                     hdr.n_records == 0:
-                break                           # EOF container
-            br = ByteReader(body)
-            blocks = []
-            while br.pos < len(body):
-                blocks.append(_read_block(br))
-            if first:
-                # SAM header container: extract @SQ names for ref lookup.
-                first = False
-                raw = blocks[0].data
-                if len(raw) >= 4:
-                    (l_text,) = struct.unpack("<i", raw[:4])
-                    text = raw[4:4 + l_text].decode(errors="replace")
-                    for line in text.splitlines():
-                        if line.startswith("@SQ"):
-                            for fld in line.split("\t"):
-                                if fld.startswith("SN:"):
-                                    ref_names.append(fld[3:])
+                return                          # EOF container
+            yield off, hdr
+            self._fh.seek(off)
+            _read_container_header(self._fh)
+            self._fh.seek(hdr.length, 1)
+
+    def container_records(self, offset: int) -> list[CramRecord]:
+        """Decodes ALL records of the container at `offset` (no flag
+        filtering — fetch callers filter by region + flags)."""
+        self._fh.seek(offset)
+        hdr = _read_container_header(self._fh)
+        if hdr is None or (hdr.ref_seq_id == -1 and hdr.start == _EOF_START
+                           and hdr.n_records == 0):
+            return []
+        body = self._fh.read(hdr.length)
+        br = ByteReader(body)
+        blocks = []
+        while br.pos < len(body):
+            blocks.append(_read_block(br))
+        ch = _parse_compression_header(blocks[0].data)
+
+        def ref_getter(rid):
+            if rid < 0 or rid >= len(self.ref_names):
+                return None
+            if self._ref_map is None:
+                if ch.reference_required:
+                    raise ValueError(
+                        f"{self.path}: reference-based CRAM needs "
+                        "--reference (the FASTA it was encoded against)")
+                return None
+            return self._ref_map.get(self.ref_names[rid])
+
+        out = []
+        counter = hdr.record_counter
+        i = 1
+        while i < len(blocks):
+            if blocks[i].content_type != CT_SLICE_HEADER:
+                i += 1
                 continue
-            ch = _parse_compression_header(blocks[0].data)
+            j = i + 1
+            while j < len(blocks) and blocks[j].content_type in \
+                    (CT_CORE, CT_EXTERNAL):
+                j += 1
+            recs = _decode_slice(ch, blocks[i:j], hdr.ref_seq_id,
+                                 ref_getter, counter)
+            counter += len(recs)
+            out.extend(recs)
+            i = j
+        return out
 
-            def ref_getter(rid):
-                if rid < 0 or rid >= len(ref_names):
-                    return None
-                if ref_map is None:
-                    if ch.reference_required:
-                        raise ValueError(
-                            f"{path}: reference-based CRAM needs "
-                            "--reference (the FASTA it was encoded against)")
-                    return None
-                return ref_map.get(ref_names[rid])
+    def records(self, keep_flags: int = SKIP_MASK):
+        """Yields every record of the file in order, skipping flags in
+        `keep_flags` (sequential full-scan path)."""
+        for off, _hdr in self.containers():
+            for r in self.container_records(off):
+                if not (r.flag & keep_flags):
+                    yield r
 
-            i = 1
-            while i < len(blocks):
-                if blocks[i].content_type != CT_SLICE_HEADER:
-                    i += 1
-                    continue
-                # a slice = its header block + following core/external
-                j = i + 1
-                while j < len(blocks) and blocks[j].content_type in \
-                        (CT_CORE, CT_EXTERNAL):
-                    j += 1
-                recs = _decode_slice(ch, blocks[i:j], hdr.ref_seq_id,
-                                     ref_getter, counter)
-                counter += len(recs)
-                for r in recs:
-                    if not (r.flag & keep_flags):
-                        yield r
-                i = j
+
+def read_cram_records(path, reference=None, keep_flags: int = SKIP_MASK):
+    """Yields CramRecord for every primary record of a CRAM 3.x file.
+
+    reference: None, a dict {contig_name: codes}, or a FASTA path — needed
+    for reference-based slices (RR=true), like `samtools view -T`.
+    Counterpart of the reference's htslib CRAM path (fastx.rs:586-620).
+    """
+    with CramFile(path, reference) as cf:
+        yield from cf.records(keep_flags)
 
 
 # ---------------------------------------------------------------------------
@@ -1102,9 +1197,22 @@ class CramWriter:
 
     def write(self, name, flag, seq, qual=None, ref_id=-1, pos=-1, mapq=255,
               features=None):
-        """features: None (unmapped or exact match) or list of
-        ('X', read_pos0, bs_code) / ('I', read_pos0, codes) /
-        ('D', read_pos0, length) / ('S', read_pos0, codes)."""
+        """features: list of ('X', read_pos0, bs_code) /
+        ('I', read_pos0, codes) / ('D', read_pos0, length) /
+        ('S', read_pos0, codes); or None — mapped records are then diffed
+        against the reference automatically (X substitutions) so the
+        stored bases always reconstruct `seq` exactly."""
+        if (features is None and not (flag & FLAG_UNMAPPED) and ref_id >= 0
+                and pos >= 0):
+            refc = self.reference.get(self.ref_names[ref_id]) \
+                if isinstance(self.reference, dict) else None
+            if refc is not None:
+                features = diff_features(seq, refc, pos)
+        # Containers never span references on sorted input (htslib does the
+        # same) — keeps every container single-ref so .crai fetch can skip
+        # whole containers instead of treating them as multi-ref (-2).
+        if self._pending and self._pending[-1][4] != ref_id:
+            self.flush()
         self._pending.append((name, flag, seq, qual, ref_id, pos, mapq,
                               features or []))
         if len(self._pending) >= 4096:
@@ -1120,9 +1228,22 @@ class CramWriter:
         container_ref = ref_ids.pop() if len(ref_ids) == 1 else -2
         multi_ref = container_ref == -2
         n_bases = 0
-        starts = [r[5] for r in recs if r[5] >= 0]
+        starts, ends = [], []
+        for _n, flag, seq, _q, _ri, pos, _mq, features in recs:
+            if pos < 0 or (flag & FLAG_UNMAPPED):
+                continue
+            starts.append(pos)
+            ref_len = seq.size
+            for fc, _rp0, payload in features:
+                if fc == "D":
+                    ref_len += payload
+                elif fc == "I" or fc == "S":
+                    ref_len -= len(payload)
+            ends.append(pos + max(ref_len, 1))
         s_start = (min(starts) + 1) if starts else 0
-        s_span = (max(starts) - min(starts) + 1) if starts else 0
+        # Span covers record ENDS, not just starts — index-driven fetch
+        # (seq/crai.py) must find reads that only overlap a region's tail.
+        s_span = (max(ends) - min(starts)) if starts else 0
 
         for name, flag, seq, qual, ref_id, pos, mapq, features in recs:
             n_bases += seq.size
