@@ -33,9 +33,12 @@ except ImportError:                       # pragma: no cover - older jax
 from ..ops.solver import SolverConfig, solve_genotypes
 
 
-def make_mesh(n_devices: int | None = None, read_axis: int | None = None) -> Mesh:
-    """2D mesh {read × gt}.  By default puts min(2, n) on the read axis."""
-    devices = jax.devices()
+def make_mesh(n_devices: int | None = None, read_axis: int | None = None,
+              local: bool = False) -> Mesh:
+    """2D mesh {read × gt}.  By default puts min(2, n) on the read axis.
+    local=True restricts to this process's devices (multi-host runs shard
+    LOCI across processes, never arrays — parallel/multihost.py)."""
+    devices = jax.local_devices() if local else jax.devices()
     n = n_devices or len(devices)
     devices = devices[:n]
     if read_axis is None:
@@ -45,12 +48,15 @@ def make_mesh(n_devices: int | None = None, read_axis: int | None = None) -> Mes
 
 
 def auto_mesh() -> Mesh | None:
-    """Production mesh selection: a {read × gt} mesh over all local devices
+    """Production mesh selection: a {read × gt} mesh over all LOCAL devices
     when more than one is attached (and the count is a power of two — TPU
-    slices always are), else None (single-chip path, zero overhead)."""
-    n = jax.device_count()
+    slices always are), else None (single-chip path, zero overhead).
+    Only local devices: a mesh spanning processes would make per-locus
+    outputs non-addressable, and the multi-host design keeps all
+    cross-host parallelism at the locus level (multihost.py)."""
+    n = jax.local_device_count()
     if n > 1 and (n & (n - 1)) == 0:
-        return make_mesh()
+        return make_mesh(local=True)
     return None
 
 

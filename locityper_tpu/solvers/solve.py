@@ -378,6 +378,13 @@ def solve_locus(tensors: LocusTensors, pack: ContigInfoPack, bg_distr,
         engine = stage.engine
         if engine == "auto":
             engine = "pallas" if jax.default_backend() != "cpu" else "seq"
+            # Greedy stages run the reference search (sample-best +
+            # plateau, stoch.rs:36-145) on EVERY backend: _greedy_chain is
+            # an XLA while-loop, chip-capable.  Explicit `engine=pallas`
+            # in the scheme string still selects the fixed-length polish
+            # walk (same optimum on the ILP oracle, different search).
+            if stage.kind == "greedy":
+                engine = "seq"
         cfg = SolverConfig(
             anneal_steps=stage.anneal_steps,
             polish_steps=stage.polish_steps,
@@ -387,9 +394,6 @@ def solve_locus(tensors: LocusTensors, pack: ContigInfoPack, bg_distr,
             tweak=int(params.tweak or 0),
             window_size=pack.window_size,
             anneal_steps_b=stage.batched_anneal,
-            # Reference-greedy (sample-best + plateau) in the seq engine;
-            # pallas/batched greedy stages keep the fixed-length polish
-            # walk (same optimum on the ILP oracle, different search).
             greedy_sample=(stage.sample
                            if stage.kind == "greedy" and engine == "seq"
                            else 0),
@@ -635,6 +639,8 @@ def _solve_panel_group(items: list, bg_distr, params: Params, scheme: Scheme,
         engine = stage.engine
         if engine == "auto":
             engine = "pallas" if jax.default_backend() != "cpu" else "seq"
+            if stage.kind == "greedy":      # reference search on-chip too
+                engine = "seq"
         cfg = SolverConfig(
             anneal_steps=stage.anneal_steps,
             polish_steps=stage.polish_steps,

@@ -154,3 +154,85 @@ class TestPallasDynamicsTPU:
         b, _ = _run_pallas(jax.random.PRNGKey(7), gts, tensors, pack, bayes,
                            cfg, n_attempts=4, max_windows=pack.max_windows)
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.skipif(not _ON_TPU, reason="stochastic dynamics need TPU PRNG")
+def test_stage1_survivors_greedy_vs_polish_at_scale():
+    """VERDICT r2 item 4: at stage-1 scale (~5000 genotypes) the reference
+    greedy search (_greedy_chain, now the production auto engine for
+    greedy stages) and the Pallas fixed-length polish walk must cull to
+    the SAME survivor set — both searches reach the per-genotype optimum
+    on separable problems, so the stage-2 input must not depend on which
+    engine ran stage 1 (stoch.rs:36-145 vs the chains-in-lanes walk)."""
+    from locityper_tpu import mathx
+    from locityper_tpu.solvers.solve import (Prediction, discard_improbable,
+                                             run_filter)
+
+    rng = np.random.default_rng(3)
+    n_haps, n_reads, kh = 100, 160, 4
+    # Reads "come from" haps 7 and 23: those columns score high.
+    hap_prob = rng.normal(-12.0, 1.5,
+                          (n_haps, n_reads, kh)).astype(np.float32)
+    src = np.where(rng.random(n_reads) < 0.5, 7, 23)
+    for r in range(n_reads):
+        hap_prob[src[r], r, 0] = rng.normal(-2.0, 0.3)
+    hap_prob[rng.random((n_haps, n_reads, kh)) < 0.3] = -1e30
+    mid = rng.integers(360, 1200, (n_haps, n_reads, kh, 2)).astype(np.int32)
+    unm = np.full(n_reads, -25.0, np.float32)
+    tensors = LocusTensors(hap_prob, mid, unm, n_haps, n_reads, kh)
+    hap_len = 1600
+    window = 100
+    pack = ContigInfoPack(
+        n_haps=n_haps, max_len=hap_len, max_windows=16,
+        n_windows=np.full(n_haps, 12, np.int32),
+        reg_start=np.full(n_haps, 200, np.int32),
+        contig_len=np.full(n_haps, hap_len, np.int32),
+        window_size=window,
+        gc_at=rng.integers(35, 60, (n_haps, hap_len)).astype(np.int32),
+        weight_at=np.ones((n_haps, hap_len), np.float32))
+    bayes = build_bayes_table([NBinom(4.0, 0.45)] * 101, [0.3, 2.0, 3.0],
+                              2.0)
+    gts = np.array([(a, b) for a in range(n_haps)
+                    for b in range(a, n_haps)], np.int32)
+    assert len(gts) == 5050
+    priors = np.zeros(len(gts))
+    best_aln = np.maximum(hap_prob.max(axis=2), unm[None, :])
+    ixs = run_filter(gts, priors, best_aln, 50.0, 5000)
+
+    cfg_g = SolverConfig(tweak=0, window_size=window, greedy_sample=10,
+                         plato_size=100)
+    cfg_p = SolverConfig(tweak=0, window_size=window, anneal_steps=0,
+                         polish_steps=8000)
+    key = jax.random.PRNGKey(11)
+
+    def survivors(engine_fn, cfg, chunk=1024):
+        preds = {}
+        for s in range(0, ixs.size, chunk):
+            sub = ixs[s:s + chunk]
+            liks, _ = engine_fn(jax.random.fold_in(key, s), gts[sub], cfg)
+            liks = np.asarray(liks, np.float64)
+            for i, ix in enumerate(sub):
+                m, v = mathx.mean_variance(liks[i])
+                preds[int(ix)] = Prediction(m, v, liks.shape[1])
+        return set(discard_improbable(ixs, preds, gts, 0.01, 20).tolist())
+
+    args = (tensors.hap_prob, tensors.hap_mid, tensors.unmapped_prob,
+            pack.n_windows, pack.reg_start, pack.contig_len, pack.gc_at,
+            pack.weight_at, bayes)
+
+    def greedy(k, g, cfg):
+        return solve_genotypes(k, g, *args, cfg, n_attempts=1,
+                               max_windows=pack.max_windows,
+                               random_init=False)
+
+    def polish(k, g, cfg):
+        return solve_genotypes_pallas(k, g, *args, cfg, n_attempts=1,
+                                      max_windows=pack.max_windows,
+                                      n_steps=cfg.polish_steps,
+                                      random_init=False)
+
+    s_greedy = survivors(greedy, cfg_g)
+    s_polish = survivors(polish, cfg_p)
+    true_ix = int(np.nonzero((gts[:, 0] == 7) & (gts[:, 1] == 23))[0][0])
+    assert true_ix in s_greedy and true_ix in s_polish
+    assert s_greedy == s_polish, (sorted(s_greedy), sorted(s_polish))
