@@ -93,7 +93,10 @@ def add_args(p):
                         ".csv.gz")
     p.add_argument("--out-sams", type=int, default=0,
                    help="Write read assignments for this many best genotypes "
-                        "as SAM files under <locus>/alns/")
+                        "as SAM.gz files under <locus>/alns/")
+    p.add_argument("--out-bams", type=int, default=0,
+                   help="Same as --out-sams but real BGZF BAM files "
+                        "(the reference's model/bam.rs output format)")
     p.add_argument("--reg-weights", default=None, metavar="TSV",
                    help="Per-locus explicit region weights: each line "
                         "'<locus> <bed-path>'; the BED has "
@@ -467,6 +470,19 @@ def _recruit_fast_pass(order, loci, dev, path1, path2, subsample, seed,
     from ..ops.recruit import run_pairs_async
     from ..seq.fastx import fast_paired_batches
 
+    # Multi-device: shard each batch over the local mesh (linear recruit
+    # scaling across chips — no collectives); single device keeps the
+    # plain async kernel path.
+    from ..parallel.mesh import MeshPairRecruiter, auto_mesh
+    mesh = auto_mesh()
+    if mesh is not None:
+        recruiter = MeshPairRecruiter(mesh, dev)
+        dispatch = recruiter.run_async
+        logger.info("Recruitment sharded over %d devices", mesh.devices.size)
+    else:
+        def dispatch(m1, m2):
+            return run_pairs_async(dev, m1, m2)
+
     out = {name: ([], []) for name in order}
     progress = Progress(logger, "reads")
     rng = np.random.default_rng(seed)
@@ -499,7 +515,7 @@ def _recruit_fast_pass(order, loci, dev, path1, path2, subsample, seed,
             t0 = _time.perf_counter()
         keep = (rng.random(count) < subsample) if subsample is not None             else None
         pending.append((names, m1, l1, m2, l2, count, keep,
-                        run_pairs_async(dev, m1, m2)))
+                        dispatch(m1, m2)))
         if first_batch:
             # Separate kernel-compile time from throughput: the first batch
             # triggers the device-kernel compile (seconds warm via the
@@ -806,7 +822,8 @@ def _run(args):
 
     scheme = Scheme.parse(args.solvers or [])
     params = Params(unmapped_penalty=tech.default_unmapped_penalty(),
-                    out_bams=args.out_sams)
+                    out_bams=args.out_bams or args.out_sams,
+                    bam_format=bool(args.out_bams))
     _apply_param_args(params, args)
     all_priors = load_priors(args.priors) if args.priors else {}
     weight_files = {}
@@ -891,7 +908,8 @@ def _run(args):
                 locus=loci[name], read_pairs=pairs, names=names, tag=name,
                 prebuilt=panel_alns[name], priors=locus_priors,
                 explicit_weights=explicit,
-                sam_dir=(ldir / paths.ALNS_OUT_DIR) if args.out_sams
+                sam_dir=(ldir / paths.ALNS_OUT_DIR)
+                if (args.out_sams or args.out_bams)
                 else None,
                 sol_path=(ldir / paths.SOL_CSV) if args.debug else None,
                 debug=args.debug, out_dir=ldir))
@@ -921,7 +939,8 @@ def _run(args):
                     scheme=scheme, seed=args.seed + li, tag=name,
                     ploidy=args.ploidy, priors=locus_priors,
                     explicit_weights=explicit,
-                    sam_dir=(ldir / paths.ALNS_OUT_DIR) if args.out_sams
+                    sam_dir=(ldir / paths.ALNS_OUT_DIR)
+                if (args.out_sams or args.out_bams)
                     else None,
                     sol_path=(ldir / paths.SOL_CSV) if args.debug else None,
                     debug=args.debug, out_dir=ldir,

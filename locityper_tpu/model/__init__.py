@@ -31,6 +31,8 @@ class Params:
     prob_thresh: float = -4.0 * LN10
     dont_skip: bool = False
     out_bams: int = 0
+    # True: write real BGZF BAM (model/bam.rs parity); False: SAM.gz.
+    bam_format: bool = False
     # Alignment candidate search: band width of the DP kernel.  Long reads
     # accumulate indel drift along the diagonal, so the band scales with
     # technology (None = auto: 48 short reads, 160 long reads).

@@ -1,9 +1,11 @@
-"""Output alignments of reads under a called genotype (SAM text).
+"""Output alignments of reads under a called genotype (SAM text or BAM).
 
-Counterpart of reference model/bam.rs (which writes BAM via htslib; this
-sandbox has no htslib/pysam, so we emit spec-conformant SAM that samtools
-can convert).  Each recruited read pair is reported at its most frequently
-chosen location across solver attempts, one record per mapped mate, with:
+Counterpart of reference model/bam.rs (BAM via htslib; here the owned
+writers emit either spec-conformant SAM.gz or real BGZF BAM —
+`--out-bams` matches the reference's binary output, `--out-sams` keeps
+the readable twin).  Each recruited read pair is reported at its most
+frequently chosen location across solver attempts, one record per mapped
+mate, with:
     CIGAR from the host traceback kernel re-run at the stored window
           (ops/traceback.py; exact same DP as the scoring kernel)
     MAPQ  from the assignment frequency (count_to_prob, bam.rs:54)
@@ -17,6 +19,7 @@ import numpy as np
 from ..ops import align as A
 from ..ops import traceback as T
 from ..seq import dna
+from ..seq.bam import BamWriter, pack_tag_f
 from ..utils.io import smart_create
 
 _SAM_OPS = "=XIDS"
@@ -50,7 +53,7 @@ def _slot_to_cand(ra, hap: int, k: int, kh: int):
 
 def _mate_record(codes, aln, hap_seq, score_vec, band):
     """Regenerates the mate's CIGAR at the stored window.  Returns
-    (pos0, cigar_str, seq_str, reverse, end0) or None."""
+    (pos0, cigar [(op, len)], oriented_codes, reverse, end0) or None."""
     if aln is None or codes is None:
         return None
     oriented = codes if aln.fwd else dna.revcomp(codes)
@@ -61,9 +64,62 @@ def _mate_record(codes, aln, hap_seq, score_vec, band):
         return None
     ops, lens, info, _ = out
     start_p, end_p = int(info[0]), int(info[1])
-    cig = "".join(f"{int(l)}{_SAM_OPS[int(o)]}" for o, l in zip(ops, lens))
-    return (aln.ws + start_p, cig, dna.decode(oriented), not aln.fwd,
-            aln.ws + end_p)
+    cig = [(_SAM_OPS[int(o)], int(l)) for o, l in zip(ops, lens)]
+    return (aln.ws + start_p, cig, oriented, not aln.fwd, aln.ws + end_p)
+
+
+class _SamOut:
+    """SAM.gz record sink."""
+
+    def __init__(self, path, sq):
+        self.names = [n for n, _ in sq]
+        self.f = smart_create(path)
+        self.f.write("@HD\tVN:1.6\tSO:unsorted\n")
+        for n, ln in sq:
+            self.f.write(f"@SQ\tSN:{n}\tLN:{ln}\n")
+        self.f.write("@PG\tID:locityper-tpu\tPN:locityper-tpu\n")
+
+    def rec(self, name, flag, rid, pos0, mapq, cig, next_rid, pnext0, tlen,
+            seq_codes, tags):
+        rname = "*" if rid < 0 else self.names[rid]
+        pos_s = 0 if rid < 0 else max(pos0, 0) + 1
+        cs = "".join(f"{l}{o}" for o, l in cig) if cig else "*"
+        rnext = "*" if next_rid < 0 else "="
+        seq = dna.decode(seq_codes) if seq_codes is not None else "*"
+        tag_s = "".join(f"\t{t}:f:{v:.3f}" for t, v in tags)
+        self.f.write(f"{name}\t{flag}\t{rname}\t{pos_s}\t{mapq}"
+                     f"\t{cs}\t{rnext}\t{max(pnext0, -1) + 1}\t{tlen}\t"
+                     f"{seq}\t*{tag_s}\n")
+
+    def close(self):
+        self.f.close()
+
+
+class _BamOut:
+    """Real BGZF BAM record sink (model/bam.rs role)."""
+
+    def __init__(self, path, sq):
+        self.w = BamWriter(path, [n for n, _ in sq], [l for _, l in sq])
+
+    def rec(self, name, flag, rid, pos0, mapq, cig, next_rid, pnext0, tlen,
+            seq_codes, tags):
+        if seq_codes is None:
+            seq_codes = np.empty(0, np.int8)
+        tag_b = b"".join(pack_tag_f(t, v) for t, v in tags)
+        self.w.write(name, flag, seq_codes, ref_id=rid,
+                     pos=pos0 if rid >= 0 else -1, mapq=mapq,
+                     cigar=[(o if o in "MIDNSHP=X" else "M", l)
+                            for o, l in cig] if cig else None,
+                     tags=tag_b, next_ref_id=next_rid, next_pos=pnext0,
+                     tlen=tlen)
+
+    def close(self):
+        self.w.close()
+
+
+def _open_sink(path, sq):
+    return _BamOut(path, sq) if str(path).endswith(".bam") \
+        else _SamOut(path, sq)
 
 
 def write_all_sam(path, all_alns, read_pairs, hap_names, hap_lens, hap_seqs,
@@ -72,12 +128,10 @@ def write_all_sam(path, all_alns, read_pairs, hap_names, hap_lens, hap_seqs,
     haplotype (the reference's `--stop-after map` aln.bam stage,
     genotype.rs:1023-1074): one record per mapped mate per candidate, with
     traceback CIGARs; secondary candidates (per read, beyond its best one)
-    carry FLAG 0x100.  XL:f is the candidate's pair ln-probability."""
-    with smart_create(path) as f:
-        f.write("@HD\tVN:1.6\tSO:unsorted\n")
-        for h, name in enumerate(hap_names):
-            f.write(f"@SQ\tSN:{name}\tLN:{hap_lens[h]}\n")
-        f.write("@PG\tID:locityper-tpu\tPN:locityper-tpu\n")
+    carry FLAG 0x100.  XL:f is the candidate's pair ln-probability.
+    A `.bam` path writes real BAM, anything else SAM.gz."""
+    out = _open_sink(path, list(zip(hap_names, hap_lens)))
+    try:
         for ra in all_alns.reads:
             c1, c2 = read_pairs[ra.read_ix]
             best = max((c.ln_prob for c in ra.cands), default=0.0)
@@ -104,19 +158,21 @@ def write_all_sam(path, all_alns, read_pairs, hap_names, hap_lens, hap_seqs,
                                 flag |= 0x2
                     if rev:
                         flag |= 0x10
-                    rnext, pnext = ("=", other[0] + 1) if (paired and other) \
-                        else ("*", 0)
-                    f.write(f"{ra.name}\t{flag}\t{hap_names[c.hap]}\t"
-                            f"{max(pos0, 0) + 1}\t0\t{cig}\t{rnext}\t{pnext}"
-                            f"\t0\t{seq}\t*\tXL:f:{c.ln_prob:.3f}\t"
-                            f"XW:f:{ra.weight:.3f}\n")
+                    next_rid, pnext0 = ((c.hap, other[0]) if (paired and other)
+                                        else (-1, -1))
+                    out.rec(ra.name, flag, c.hap, pos0, 0, cig, next_rid,
+                            pnext0, 0, seq,
+                            [("XL", c.ln_prob), ("XW", ra.weight)])
+    finally:
+        out.close()
 
 
 def write_sam(path, gt, tensors, hap_names, hap_lens, read_names,
               assignments: np.ndarray, read_weights=None, all_alns=None,
               read_pairs=None, hap_seqs=None, score_vec=None,
               band: int = 48) -> None:
-    """Writes one SAM file for genotype `gt` = (h_0..h_{P-1}), any ploidy.
+    """Writes one SAM.gz / BAM (by path suffix) for genotype
+    `gt` = (h_0..h_{P-1}), any ploidy.
 
     tensors: model.assgn.LocusTensors; assignments: [A, R] final slot per
     attempt from the solver (slot layout: [s·Kh..(s+1)·Kh) = hap copy s,
@@ -130,22 +186,22 @@ def write_sam(path, gt, tensors, hap_names, hap_lens, read_names,
     top, freq = assignment_frequencies(assignments, n_slots)
     full = (all_alns is not None and read_pairs is not None
             and hap_seqs is not None and score_vec is not None)
-    with smart_create(path) as f:
-        f.write("@HD\tVN:1.6\tSO:unsorted\n")
-        for h in sorted(set(gt)):
-            f.write(f"@SQ\tSN:{hap_names[h]}\tLN:{hap_lens[h]}\n")
-        f.write("@PG\tID:locityper-tpu\tPN:locityper-tpu\n")
+    haps = sorted(set(gt))
+    rid_of = {h: i for i, h in enumerate(haps)}
+    out = _open_sink(path, [(hap_names[h], hap_lens[h]) for h in haps])
+    try:
         for r, name in enumerate(read_names):
             slot = int(top[r])
             p = float(freq[r])
             mapq = min(int(round(-10.0 * np.log10(max(1.0 - p, 1e-6)))), 60)
-            tags = f"XF:f:{p:.3f}"
+            tags = [("XF", p)]
             if read_weights is not None:
-                tags += f"\tXW:f:{read_weights[r]:.3f}"
+                tags.append(("XW", float(read_weights[r])))
             if slot == ploidy * kh:
-                f.write(f"{name}\t4\t*\t0\t0\t*\t*\t0\t0\t*\t*\t{tags}\n")
+                out.rec(name, 4, -1, -1, 0, None, -1, -1, 0, None, tags)
                 continue
             hap = gt[slot // kh]
+            rid = rid_of[hap]
             k = slot % kh
             cand = None
             if full:
@@ -178,11 +234,10 @@ def write_sam(path, gt, tensors, hap_names, hap_lens, read_names,
                                 flag |= 0x2
                     if rev:
                         flag |= 0x10
-                    rnext, pnext = ("=", other[0] + 1) if (paired and other) \
-                        else ("*", 0)
-                    f.write(f"{name}\t{flag}\t{hap_names[hap]}\t"
-                            f"{max(pos0, 0) + 1}\t{mapq}\t{cig}\t{rnext}\t"
-                            f"{pnext}\t{tlen}\t{seq}\t*\t{tags}\n")
+                    next_rid, pnext0 = ((rid, other[0]) if (paired and other)
+                                        else (-1, -1))
+                    out.rec(name, flag, rid, pos0, mapq, cig, next_rid,
+                            pnext0, tlen, seq, tags)
                 if rec1 is not None or rec2 is not None:
                     continue
             # Fallback: middle-position record without CIGAR.
@@ -190,5 +245,6 @@ def write_sam(path, gt, tensors, hap_names, hap_lens, read_names,
             mid2 = int(tensors.hap_mid[hap, r, k, 1])
             pos = mid1 if mid1 >= 0 else mid2
             flag = 0 if mid1 >= 0 else 4
-            f.write(f"{name}\t{flag}\t{hap_names[hap]}\t{max(pos, 0) + 1}\t"
-                    f"{mapq}\t*\t*\t0\t0\t*\t*\t{tags}\n")
+            out.rec(name, flag, rid, pos, mapq, None, -1, -1, 0, None, tags)
+    finally:
+        out.close()

@@ -198,6 +198,52 @@ def sharded_recruit_pairs(mesh: Mesh, cfg, reads1, reads2, keys_signed,
     return hits[:B]
 
 
+class MeshPairRecruiter:
+    """Persistent mesh-sharded pair recruitment for the production fast
+    path (VERDICT r2 item 3: multi-chip read-sharding is the remaining
+    recruitment scaling lever).  Index tables are replicated onto the mesh
+    ONCE (per-call numpy→jit uploads take the slow relay path,
+    BENCH_NOTES round 2); each batch is device_put pre-sharded along the
+    read axis and classified by the local kernel — no collectives.
+    Decisions are bit-identical to the single-device kernel
+    (tests/test_recruit.py::test_sharded_recruit_matches_single_device)."""
+
+    def __init__(self, mesh: Mesh, dev):
+        from ..ops.recruit import recruit_pairs_batch
+
+        self.mesh = mesh
+        repl = jax.sharding.NamedSharding(mesh, P())
+        self._tables = tuple(
+            jax.device_put(a, repl)
+            for a in (dev.keys_signed, dev.fw_mask, dev.bw_mask,
+                      dev.rare_mask))
+        self._in_shard = jax.sharding.NamedSharding(mesh, P(("read", "gt")))
+        cfg = dev.cfg
+
+        def local(r1, r2, k, f, b, rr):
+            return recruit_pairs_batch(cfg, r1, r2, k, f, b, rr)
+
+        self._fn = jax.jit(shard_map(
+            local, mesh=mesh,
+            in_specs=(P(("read", "gt")), P(("read", "gt")), P(), P(), P(),
+                      P()),
+            out_specs=P(("read", "gt")), check_rep=False))
+
+    def run_async(self, reads1: np.ndarray, reads2: np.ndarray):
+        """[B, L] batches -> async [B, n_groups] hit bitmaps."""
+        n = self.mesh.devices.size
+        B = reads1.shape[0]
+        pad = (-B) % n
+        if pad:
+            reads1 = np.concatenate(
+                [reads1, np.full((pad, reads1.shape[1]), 4, reads1.dtype)])
+            reads2 = np.concatenate(
+                [reads2, np.full((pad, reads2.shape[1]), 4, reads2.dtype)])
+        r1 = jax.device_put(reads1, self._in_shard)
+        r2 = jax.device_put(reads2, self._in_shard)
+        return self._fn(r1, r2, *self._tables)[:B]
+
+
 def full_step(mesh: Mesh, key, tensors, pack, bayes, genotypes, priors,
               cfg: SolverConfig, n_attempts: int = 2):
     """One full sharded genotyping step: read-sharded filter + gt-sharded

@@ -186,11 +186,12 @@ def _finalize_locus(result, locus: LocusData, all_alns, tensors, bg: BgDistr,
         read_names = all_alns.names_used
         weights = all_alns.weights_used
         score_vec = bg.err_prof.score_vec()
+        ext = "bam" if params.bam_format else "sam.gz"
         for i, (gt, pred) in enumerate(zip(result.genotypes,
                                            result.predictions)):
             if i >= params.out_bams or pred.assignments is None:
                 break
-            write_sam(Path(sam_dir) / f"{i:02d}.sam.gz", tuple(gt), tensors,
+            write_sam(Path(sam_dir) / f"{i:02d}.{ext}", tuple(gt), tensors,
                       hap_names, hap_lens, read_names,
                       pred.assignments[:, :len(read_names)],
                       read_weights=weights, all_alns=all_alns,

@@ -30,6 +30,13 @@ FLAG_SECONDARY = 0x100
 FLAG_QCFAIL = 0x200
 FLAG_DUP = 0x400
 FLAG_SUPPLEMENTARY = 0x800
+
+_CIGAR_OPS = "MIDNSHP=X"       # BAM op codes 0..8 (SAM spec §4.2)
+
+
+def pack_tag_f(tag: str, value: float) -> bytes:
+    """Binary BAM float tag, e.g. pack_tag_f('XF', 0.95)."""
+    return tag.encode() + b"f" + struct.pack("<f", value)
 SKIP_MASK = FLAG_SECONDARY | FLAG_SUPPLEMENTARY
 
 # BAM 4-bit seq codes: =ACMGRSVTWYHKDBN -> our int8 codes (A0 C1 G2 T3 N4).
@@ -85,9 +92,11 @@ class _StreamBuf:
 
 
 class BamRecord:
-    __slots__ = ("name", "flag", "seq", "qual", "ref_id", "pos", "mapq")
+    __slots__ = ("name", "flag", "seq", "qual", "ref_id", "pos", "mapq",
+                 "cigar", "tags")
 
-    def __init__(self, name, flag, seq, qual, ref_id, pos, mapq):
+    def __init__(self, name, flag, seq, qual, ref_id, pos, mapq,
+                 cigar=None, tags=None):
         self.name = name
         self.flag = flag
         self.seq = seq           # int8 codes, SEQUENCING orientation
@@ -95,6 +104,8 @@ class BamRecord:
         self.ref_id = ref_id
         self.pos = pos
         self.mapq = mapq
+        self.cigar = cigar       # [(op_char, length)] | None
+        self.tags = tags         # raw BAM tag bytes | None
 
     @property
     def is_paired(self):
@@ -144,7 +155,12 @@ def read_bam_records(path, keep_flags: int = SKIP_MASK, reference=None):
             continue
         off = 32
         name = rec[off:off + l_read_name - 1].decode()
-        off += l_read_name + 4 * n_cigar
+        off += l_read_name
+        cigar = None
+        if n_cigar:
+            raw = np.frombuffer(rec, np.uint32, n_cigar, off)
+            cigar = [(_CIGAR_OPS[int(c) & 0xF], int(c) >> 4) for c in raw]
+        off += 4 * n_cigar
         packed = np.frombuffer(rec, np.uint8, (l_seq + 1) // 2, off)
         codes = np.empty(l_seq, np.int8)
         codes[0::2] = _NT16_TO_CODE[packed >> 4]
@@ -152,13 +168,16 @@ def read_bam_records(path, keep_flags: int = SKIP_MASK, reference=None):
             codes[1::2] = _NT16_TO_CODE[packed[:(l_seq // 2)] & 0xF]
         off += (l_seq + 1) // 2
         qual = np.frombuffer(rec, np.uint8, l_seq, off).copy()
+        off += l_seq
+        tags = rec[off:] or None
         if qual.size and qual[0] == 0xFF:
             qual = None
         if flag & FLAG_REVERSE:
             codes = dna.revcomp(codes)
             if qual is not None:
                 qual = qual[::-1].copy()
-        yield BamRecord(name, flag, codes, qual, ref_id, pos, mapq)
+        yield BamRecord(name, flag, codes, qual, ref_id, pos, mapq,
+                        cigar, tags)
 
 
 def read_bam(path, reference=None):
@@ -263,10 +282,14 @@ class BamWriter:
 
     def write(self, name: str, flag: int, seq: np.ndarray,
               qual: np.ndarray | None = None, ref_id: int = -1,
-              pos: int = -1, mapq: int = 0) -> None:
+              pos: int = -1, mapq: int = 0, cigar=None, tags: bytes = b"",
+              next_ref_id: int = -1, next_pos: int = -1,
+              tlen: int = 0) -> None:
         """seq: int8 codes in ORIGINAL read orientation; stored as-is with
         the FLAG given (callers set FLAG_REVERSE only if seq is already
-        reverse-complemented to reference orientation)."""
+        reverse-complemented to reference orientation).
+        cigar: optional [(op_char, length)]; tags: raw BAM tag bytes
+        (e.g. b'XFfA...' — use pack_tag_f for floats)."""
         nameb = name.encode() + b"\x00"
         l_seq = int(seq.size)
         packed = np.zeros((l_seq + 1) // 2, np.uint8)
@@ -276,10 +299,13 @@ class BamWriter:
             packed[: l_seq // 2] |= nt[1::2]
         q = (np.full(l_seq, 0xFF, np.uint8) if qual is None
              else np.asarray(qual, np.uint8))
+        cig = b"" if not cigar else b"".join(
+            struct.pack("<I", (ln << 4) | _CIGAR_OPS.index(op))
+            for op, ln in cigar)
         rec = struct.pack("<iiBBHHHi", ref_id, pos, len(nameb), mapq,
-                          4680, 0, flag, l_seq)
-        rec += struct.pack("<iii", -1, -1, 0)
-        rec += nameb + packed.tobytes() + q.tobytes()
+                          4680, len(cig) // 4, flag, l_seq)
+        rec += struct.pack("<iii", next_ref_id, next_pos, tlen)
+        rec += nameb + cig + packed.tobytes() + q.tobytes() + tags
         self._buf += struct.pack("<i", len(rec)) + rec
         self._maybe_flush()
 

@@ -378,13 +378,15 @@ def solve_locus(tensors: LocusTensors, pack: ContigInfoPack, bg_distr,
         engine = stage.engine
         if engine == "auto":
             engine = "pallas" if jax.default_backend() != "cpu" else "seq"
-            # Greedy stages run the reference search (sample-best +
-            # plateau, stoch.rs:36-145) on EVERY backend: _greedy_chain is
-            # an XLA while-loop, chip-capable.  Explicit `engine=pallas`
-            # in the scheme string still selects the fixed-length polish
-            # walk (same optimum on the ILP oracle, different search).
-            if stage.kind == "greedy":
-                engine = "seq"
+            # Greedy stages: the TPU default stays the Pallas fixed-length
+            # polish walk.  Measured on-chip at stage-1 scale (5050
+            # genotypes, tests/test_solver_pallas.py): the walk's survivor
+            # set overlaps the reference greedy's (stoch.rs:36-145,
+            # engine=seq — chip-capable XLA while-loop) 19/20 — exactly
+            # the reference greedy's own seed-to-seed stability — with the
+            # true genotype always retained; routing greedy to the XLA
+            # chain cost 0.55s->2.5s solve per panel (BENCH_NOTES r3) for
+            # no measurable selection difference.
         cfg = SolverConfig(
             anneal_steps=stage.anneal_steps,
             polish_steps=stage.polish_steps,
@@ -639,8 +641,6 @@ def _solve_panel_group(items: list, bg_distr, params: Params, scheme: Scheme,
         engine = stage.engine
         if engine == "auto":
             engine = "pallas" if jax.default_backend() != "cpu" else "seq"
-            if stage.kind == "greedy":      # reference search on-chip too
-                engine = "seq"
         cfg = SolverConfig(
             anneal_steps=stage.anneal_steps,
             polish_steps=stage.polish_steps,
