@@ -287,7 +287,7 @@ def list_loci(db: Path) -> list[str]:
 
 
 def recruit_reads(loci: dict, read_iter, recruit_params: RecruitParams,
-                  subsample=None, seed=0, batch=8192, use_device=True):
+                  subsample=None, seed=0, batch=16384, use_device=True):
     """Recruits all reads against all loci at once (genotype.rs:931-975).
 
     Paired short reads run through the device kernel in dense batches
@@ -425,12 +425,16 @@ def recruit_reads(loci: dict, read_iter, recruit_params: RecruitParams,
 
 
 def recruit_reads_fast(loci: dict, path1, path2, recruit_params: RecruitParams,
-                       subsample=None, seed=0, batch=8192, max_len=None):
+                       subsample=None, seed=0, batch=16384, max_len=None,
+                       stats: dict | None = None):
     """Native-parser + device-kernel recruitment for paired FASTQ inputs:
     the whole path from bytes to per-locus read lists avoids per-read
     Python, with double-buffered dispatch (the device classifies batch N
     while the host parses N+1 and scatters N-1).
     Returns ({locus: (read_pairs, names)}, reads/s).
+
+    stats: optional dict — gains "records" = total input pairs streamed
+    (preproc stores it as seq_info.total_reads without a second IO pass).
 
     max_len=None sizes the batch width from the files' leading records
     (64-bucketed); a longer read appearing mid-stream restarts the whole
@@ -453,7 +457,8 @@ def recruit_reads_fast(loci: dict, path1, path2, recruit_params: RecruitParams,
     while True:
         try:
             return _recruit_fast_pass(order, loci, dev, path1, path2,
-                                      subsample, seed, batch, max_len)
+                                      subsample, seed, batch, max_len,
+                                      stats=stats)
         except MaxLenExceeded as exc:
             new_len = _bucket_len(exc.max_seen)
             logger.warning(
@@ -464,7 +469,7 @@ def recruit_reads_fast(loci: dict, path1, path2, recruit_params: RecruitParams,
 
 
 def _recruit_fast_pass(order, loci, dev, path1, path2, subsample, seed,
-                       batch, max_len):
+                       batch, max_len, stats: dict | None = None):
     """One full recruitment pass at a fixed batch width (recruit_reads_fast
     restarts it on MaxLenExceeded)."""
     from ..ops.recruit import run_pairs_async
@@ -506,33 +511,53 @@ def _recruit_fast_pass(order, loci, dev, path1, path2, subsample, seed,
                 nms.append(names[i])
         progress.add(count, rec)
 
+    import time as _time
+
     pending = []
-    first_batch = True
-    for names, m1, l1, m2, l2, count in fast_paired_batches(
-            path1, path2, batch=batch, max_len=max_len):
-        if first_batch:
-            import time as _time
-            t0 = _time.perf_counter()
-        keep = (rng.random(count) < subsample) if subsample is not None             else None
-        pending.append((names, m1, l1, m2, l2, count, keep,
-                        dispatch(m1, m2)))
-        if first_batch:
-            # Separate kernel-compile time from throughput: the first batch
-            # triggers the device-kernel compile (seconds warm via the
+    first_scatter = [None]       # dispatch time of batch 1
+
+    def scatter_first_aware(entry):
+        if first_scatter[0] is not None:
+            # First result materializes here — everything before it is
+            # kernel compile + first roundtrip (seconds warm via the
             # persistent cache; minutes cold on remote-compile setups).
-            import jax
-            jax.block_until_ready(pending[-1][-1])
-            first_batch = False
+            # No explicit block on batch 1: parsing batch 2 overlaps the
+            # first device pass (saves one device roundtrip per call).
+            t0 = first_scatter[0]
+            first_scatter[0] = None
+            scatter(entry)
             dt = _time.perf_counter() - t0
             if dt > 5.0:
                 logger.info("Recruitment kernel ready in %.0f s (compile; "
                             "cached for subsequent runs)", dt)
-            progress.reset_clock()
+            if pending:
+                # More batches coming: report steady-state throughput.
+                # (A 1-2 batch input keeps the full clock — resetting
+                # would divide all counts by ~zero elapsed.)
+                progress.reset_clock()
+            return
+        scatter(entry)
+
+    for names, m1, l1, m2, l2, count in fast_paired_batches(
+            path1, path2, batch=batch, max_len=max_len):
+        keep = (rng.random(count) < subsample) if subsample is not None             else None
+        if first_scatter[0] is None and not pending:
+            first_scatter[0] = _time.perf_counter()
+        # Tail batch: dispatch at the smallest pow2 bucket that holds it —
+        # a 10%-full final batch otherwise costs a FULL device pass
+        # (shapes stay bucketed, so each bucket compiles once and caches).
+        Bb = m1.shape[0]
+        if count <= Bb // 2:
+            Bb = max(1 << max(count - 1, 1).bit_length(), 1024)
+        pending.append((names, m1, l1, m2, l2, count, keep,
+                        dispatch(m1[:Bb], m2[:Bb])))
         while len(pending) > 1:
-            scatter(pending.pop(0))
+            scatter_first_aware(pending.pop(0))
     while pending:
-        scatter(pending.pop(0))
+        scatter_first_aware(pending.pop(0))
     speed = progress.final()
+    if stats is not None:
+        stats["records"] = progress.processed
     return out, speed
 
 

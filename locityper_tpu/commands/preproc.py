@@ -235,7 +235,8 @@ def _recruit_bg_reads(args, genome, chrom, start, end, counter, tech):
     from ..seq.contigs import ContigSet
     from ..seq.counts import KmerCounts
     from ..seq.recruit import RecruitParams
-    from .genotype import _read_iter, recruit_reads
+    from .genotype import (_is_alignment_file, _read_iter, recruit_reads,
+                           recruit_reads_fast)
 
     seq = genome[chrom]
     pad_lo = max(start - BG_PADDING, 0)
@@ -247,9 +248,23 @@ def _recruit_bg_reads(args, genome, chrom, start, end, counter, tech):
     bg_target = SimpleNamespace(
         contig_set=ContigSet("bg", ["bg"], [padded]),
         kmer_counts=padded_counts)
-    stream = _CountingIter(_read_iter(args.input, args.interleaved,
-                                      reference=args.reference))
-    out, speed = recruit_reads({"bg": bg_target}, stream, params, seed=0)
+    if (len(args.input) == 2 and tech.are_short_reads
+            and not args.interleaved
+            and not _is_alignment_file(args.input[0])
+            and not _is_alignment_file(args.input[1])):
+        # 2-FASTQ short reads: the native-parser fast path (no per-read
+        # Python), same engine the genotype command uses; it counts the
+        # streamed records for seq_info.total_reads.
+        fstats: dict = {}
+        out, speed = recruit_reads_fast({"bg": bg_target}, args.input[0],
+                                        args.input[1], params, seed=0,
+                                        stats=fstats)
+        n_records = fstats["records"]
+    else:
+        stream = _CountingIter(_read_iter(args.input, args.interleaved,
+                                          reference=args.reference))
+        out, speed = recruit_reads({"bg": bg_target}, stream, params, seed=0)
+        n_records = None
     pairs, _names = out["bg"]
     logger.info("Recruited %d read%s to the background region (%.1fk reads/s)",
                 len(pairs), " pairs" if paired else "s", speed / 1e3)
@@ -267,7 +282,9 @@ def _recruit_bg_reads(args, genome, chrom, start, end, counter, tech):
     reads1 = [p[0] for p in pairs]
     reads2 = [p[1] for p in pairs] if (paired and pairs[0][1] is not None) \
         else []
-    return reads1, reads2, padded, rate, stream.n_records
+    if n_records is None:
+        n_records = stream.n_records
+    return reads1, reads2, padded, rate, n_records
 
 
 def _fetch_bg_reads(args, genome, chrom, start, end):

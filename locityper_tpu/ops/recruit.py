@@ -270,17 +270,27 @@ def _mate_counters(reads, cfg: _Cfg, keys, fw_mask, bw_mask, rare_mask):
     mask = jnp.take_along_axis(mask, order, axis=1)
 
     M = keys.shape[0]
+    G = cfg.n_groups
     # method='sort' (one global sort of queries+keys) is ~4x faster on TPU
     # than the default scan (log2(M) sequential gathers) at this size.
     idx = jnp.searchsorted(keys, h.reshape(-1), method="sort").reshape(B, S)
     idx = jnp.minimum(idx, M - 1)
-    found = (keys[idx] == h) & mask
+    # ONE row gather serves the key verification AND all three bitmaps:
+    # random-row gathers dominate this kernel (profile in BENCH_NOTES r3:
+    # 4 separate gathers ≈ half the kernel), and a [M, 1+3G] row costs the
+    # same fetch as a [M, 1] one.
+    packed = jnp.concatenate(
+        [jax.lax.bitcast_convert_type(keys, jnp.uint32)[:, None],
+         fw_mask, bw_mask, rare_mask], axis=1)            # [M, 1+3G]
+    tbl = packed[idx]                                     # [B, S, 1+3G]
+    h_u = jax.lax.bitcast_convert_type(h, jnp.uint32)
+    found = (tbl[..., 0] == h_u) & mask
 
     per_group = []
-    for g in range(cfg.n_groups):
-        fmask = jnp.where(found, fw_mask[idx, g], 0)      # [B, P] uint32
-        bmask = jnp.where(found, bw_mask[idx, g], 0)
-        rmask = rare_mask[idx, g]
+    for g in range(G):
+        fmask = jnp.where(found, tbl[..., 1 + g], 0)      # [B, S] uint32
+        bmask = jnp.where(found, tbl[..., 1 + G + g], 0)
+        rmask = tbl[..., 1 + 2 * G + g]
         # Read-direction semantics (BaseMatchCount::inc): the "forward"
         # counter counts entries whose direction includes the read
         # minimizer's own direction; "backward" the opposite.
