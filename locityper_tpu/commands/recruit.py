@@ -82,13 +82,27 @@ def run(args):
         raise SystemExit("Number of outputs must be 1 or match targets")
 
     # Stream through the shared batched engine (device kernel on TPU,
-    # double-buffered; commands/genotype.py:recruit_reads) — the standalone
-    # command gets the same throughput as the genotype pipeline.
-    from .genotype import _read_iter, recruit_reads
+    # double-buffered) — the standalone command gets the same throughput
+    # as the genotype pipeline, including the native-parser fast path for
+    # 2-FASTQ inputs (no per-read Python).
+    from .genotype import (_is_alignment_file, _read_iter, recruit_reads,
+                           recruit_reads_fast)
 
-    out, _speed = recruit_reads(
-        targets, _read_iter(args.input, args.interleaved), params,
-        subsample=args.subsample, seed=args.seed)
+    from ..seq.fastx import probe_fastq_max_len
+
+    if (len(args.input) == 2 and not args.interleaved
+            and not _is_alignment_file(args.input[0])
+            and not _is_alignment_file(args.input[1])
+            # Pair kernel = short-read semantics; long pairs keep the
+            # general engine (recruit_reads routes them appropriately).
+            and probe_fastq_max_len(args.input) <= 500):
+        out, _speed = recruit_reads_fast(
+            targets, args.input[0], args.input[1], params,
+            subsample=args.subsample, seed=args.seed)
+    else:
+        out, _speed = recruit_reads(
+            targets, _read_iter(args.input, args.interleaved), params,
+            subsample=args.subsample, seed=args.seed)
 
     writers = [smart_create(p) for p in args.output]
     order = list(targets)
