@@ -837,12 +837,15 @@ def _run(args):
                 params)
             ldir = out / paths.LOCI_DIR / name
             ldir.mkdir(parents=True, exist_ok=True)
-            write_all_sam(ldir / "aln.sam.gz", all_alns, pairs,
-                          cs.contigs.names, [sq.size for sq in cs.seqs],
-                          cs.seqs, bg.err_prof.score_vec(), params.band)
-            logger.info("[%s] wrote %d modeled reads' alignments to aln.sam.gz"
-                        " (%d recruited)", name, all_alns.n_used,
-                        len(pairs))
+            # aln.bam (reference genotype.rs:1023-1074 writes BAM) plus
+            # the readable SAM.gz twin.
+            for out_name in ("aln.bam", "aln.sam.gz"):
+                write_all_sam(ldir / out_name, all_alns, pairs,
+                              cs.contigs.names, [sq.size for sq in cs.seqs],
+                              cs.seqs, bg.err_prof.score_vec(), params.band)
+            logger.info("[%s] wrote %d modeled reads' alignments to "
+                        "aln.bam/aln.sam.gz (%d recruited)", name,
+                        all_alns.n_used, len(pairs))
         return 0
 
     scheme = Scheme.parse(args.solvers or [])

@@ -568,3 +568,28 @@ class TestMultihost:
         monkeypatch.setattr(jax, "process_count", lambda: 3)
         monkeypatch.setattr(jax, "process_index", lambda: 1)
         assert mh.shard_loci(list("abcdefg")) == ["b", "e"]
+
+
+def test_stop_after_map_writes_bam(world, db, prep, tmp_path):
+    """--stop-after map also writes real BAM (genotype.rs:1023-1074 aln.bam)
+    with the same records as the SAM.gz twin."""
+    import gzip as _gz
+
+    out = tmp_path / "outmapbam"
+    rc = cli.main([
+        "genotype", "-i", str(world["r1"]), str(world["r2"]),
+        "-d", str(db), "-p", str(prep), "-o", str(out),
+        "--stop-after", "map"])
+    assert rc == 0
+    bam_path = out / "loci" / "GENE1" / "aln.bam"
+    assert bam_path.exists()
+    from locityper_tpu.seq import bam as bamio
+    recs = list(bamio.read_bam_records(bam_path, keep_flags=0))
+    sam_lines = [l.split("\t") for l in
+                 _gz.open(out / "loci" / "GENE1" / "aln.sam.gz", "rt")
+                 if not l.startswith("@")]
+    assert len(recs) == len(sam_lines) > 500
+    for br, sl in zip(recs, sam_lines):
+        assert br.name == sl[0] and br.flag == int(sl[1])
+        cig = "".join(f"{l}{o}" for o, l in br.cigar) if br.cigar else "*"
+        assert cig == sl[5]
