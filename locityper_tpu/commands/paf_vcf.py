@@ -81,6 +81,12 @@ def process_haplotype(cg: str, qstart: int, tstart: int) -> list[VarRange]:
     """Extended CIGAR -> variant ranges (paf_vcf.rs:249-308): X runs stay
     as-is, indels take a left anchor base, an indel directly following a
     mismatch merges with it."""
+    if tstart < 0 or qstart < 0:
+        # Negative starts would silently emit negative variant positions;
+        # current aligners clamp alignments to [0, tlen) so this cannot
+        # happen today — guard in case window semantics ever change.
+        raise ValueError(f"PAF alignment starts before position 0 "
+                         f"(tstart={tstart}, qstart={qstart})")
     vars_: list[VarRange] = []
     rpos, qpos = tstart, qstart
     for m in _CIGAR_RE.finditer(cg):
