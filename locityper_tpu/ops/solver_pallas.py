@@ -181,30 +181,63 @@ def _kernel(seed_ref, cool_ref, probs_ref, winpk_ref, vcount_ref, nt_ref,
     assgn_out[:] = assgn
 
 
+def _permute_k(x, vorder):
+    """x[..., vorder] as K static masked selects — the candidate axis is
+    tiny (K = P·Kh+1), and per-element XLA gathers are the dominant cost
+    of chain preparation on relay-attached chips (BENCH_NOTES r3)."""
+    K = x.shape[-1]
+    out = None
+    for j in range(K):
+        term = jnp.where(vorder == j, x[..., j][..., None], 0)
+        out = term if out is None else out + term
+    return out
+
+
 def _prepare_chains(key, genotypes, attempts, hap_prob, hap_mid,
                     unmapped_prob, pack_nwin, pack_regstart, pack_len, gc_at,
                     weight_at, bayes, cfg: SolverConfig, max_windows: int,
                     random_init: bool):
-    """Builds per-chain tensors (XLA, one-time per stage)."""
+    """Builds per-chain tensors (XLA, one-time per stage).
+
+    Split in two vmaps: the expensive candidate gather/permute depends only
+    on the GENOTYPE and is computed once and repeated across attempts;
+    only the randomly-tweaked window tables and the chain init are
+    per-attempt (the key-dependent part)."""
     D_TAB = cfg.d_tab
 
-    def one_chain(k, gt):
+    def per_gt(gt):
         probs, mids, slots, valid = _gather_candidates(
             hap_prob, hap_mid, unmapped_prob, gt, cfg.prob_diff)
         vorder, vcount = _compact_valid(valid)
+        probs_p = _permute_k(probs, vorder)
+        nontrivial = vcount > 1
+        ntc = jnp.maximum(jnp.sum(nontrivial), 1).astype(jnp.int32)
+        nt_ixs = jnp.argsort(~nontrivial, stable=True).astype(jnp.int32)
+        vp = jnp.where(probs_p > NEG / 2, probs_p, jnp.nan)
+        spread = jnp.nanmax(vp, 1) - jnp.nanmin(vp, 1)
+        max_abs = jnp.nan_to_num(jnp.nanmax(spread), nan=1.0) \
+            * cfg.aln_contrib + 10.0
+        start_temp = jnp.maximum(-max_abs / jnp.log(cfg.init_prob), 1e-5)
+        return probs_p, mids, slots, vorder, vcount, nt_ixs, ntc, start_temp
+
+    G = genotypes.shape[0]
+    (probs_g, mids_g, slots_g, vorder_g, vcount_g, nt_g, ntc_g,
+     temp_g) = jax.vmap(per_gt)(genotypes)
+
+    rep = lambda x: jnp.repeat(x, attempts, axis=0)  # noqa: E731
+    gts_rep = rep(genotypes)
+    keys_flat = jax.random.split(key, G * attempts)
+
+    def per_attempt(k, gt, probs_p, mids, slots, vorder, vcount):
         kw, kr = jax.random.split(k)
         win_gc, win_weight = _window_tables(
             kw, gt, pack_nwin, pack_regstart, pack_len, gc_at, weight_at,
             cfg.window_size, cfg.tweak, max_windows)
         wins = _read_windows(kr, gt, mids, slots, pack_nwin, pack_regstart,
                              cfg.window_size, cfg.tweak, max_windows)
-        probs_p = jnp.take_along_axis(probs, vorder, axis=1)
-        w1 = jnp.take_along_axis(wins[..., 0], vorder, axis=1)
-        w2 = jnp.take_along_axis(wins[..., 1], vorder, axis=1)
+        w1 = _permute_k(wins[..., 0], vorder)
+        w2 = _permute_k(wins[..., 1], vorder)
         winpk = w1 | (w2 << 16)
-        nontrivial = vcount > 1
-        ntc = jnp.maximum(jnp.sum(nontrivial), 1).astype(jnp.int32)
-        nt_ixs = jnp.argsort(~nontrivial, stable=True).astype(jnp.int32)
         wtab = win_weight[:, None] * bayes[win_gc, :D_TAB]       # [W, D]
         if random_init:
             u = jax.random.uniform(jax.random.fold_in(kw, 7),
@@ -213,25 +246,25 @@ def _prepare_chains(key, genotypes, attempts, hap_prob, hap_mid,
                                  jnp.maximum(vcount - 1, 0))
         else:
             assgn0 = jnp.argmax(probs_p, axis=1).astype(jnp.int32)
-        wp0 = jnp.take_along_axis(winpk, assgn0[:, None], axis=1)[:, 0]
+        wp0 = jnp.sum(jnp.where(
+            assgn0[:, None] == jnp.arange(winpk.shape[1])[None, :],
+            winpk, 0), axis=1)
         w1_0 = wp0 & M16
         w2_0 = (wp0 >> 16) & M16
-        depth0 = jnp.zeros(wtab.shape[0], jnp.int32).at[w1_0].add(1) \
-                                                    .at[w2_0].add(1)
+        W = wtab.shape[0]
+        wix = jnp.arange(W, dtype=jnp.int32)
+        depth0 = (jnp.sum(w1_0[:, None] == wix[None, :], axis=0)
+                  + jnp.sum(w2_0[:, None] == wix[None, :], axis=0)
+                  ).astype(jnp.int32)
         cache0 = jnp.take_along_axis(
             wtab, jnp.clip(depth0, 0, D_TAB - 1)[:, None], axis=1)[:, 0]
-        vp = jnp.where(probs_p > NEG / 2, probs_p, jnp.nan)
-        spread = jnp.nanmax(vp, 1) - jnp.nanmin(vp, 1)
-        max_abs = jnp.nan_to_num(jnp.nanmax(spread), nan=1.0) \
-            * cfg.aln_contrib + 10.0
-        start_temp = jnp.maximum(-max_abs / jnp.log(cfg.init_prob), 1e-5)
-        return (probs_p, winpk, vcount, nt_ixs, ntc, wtab, start_temp,
-                assgn0, depth0, cache0)
+        return winpk, wtab, assgn0, depth0, cache0
 
-    G = genotypes.shape[0]
-    gts_rep = jnp.repeat(genotypes, attempts, axis=0)
-    keys_flat = jax.random.split(key, G * attempts)
-    return jax.vmap(one_chain)(keys_flat, gts_rep)
+    winpk, wtab, assgn0, depth0, cache0 = jax.vmap(per_attempt)(
+        keys_flat, gts_rep, rep(probs_g), rep(mids_g), rep(slots_g),
+        rep(vorder_g), rep(vcount_g))
+    return (rep(probs_g), winpk, rep(vcount_g), rep(nt_g), rep(ntc_g),
+            wtab, rep(temp_g), assgn0, depth0, cache0)
 
 
 @functools.partial(
