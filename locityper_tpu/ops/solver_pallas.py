@@ -210,6 +210,12 @@ def _prepare_chains(key, genotypes, attempts, hap_prob, hap_mid,
             hap_prob, hap_mid, unmapped_prob, gt, cfg.prob_diff)
         vorder, vcount = _compact_valid(valid)
         probs_p = _permute_k(probs, vorder)
+        # Permute mids/slots here too: _read_windows is elementwise over
+        # [R, K], so permuted inputs give permuted outputs — the
+        # per-attempt path then needs no K² selects at all.
+        mids_p = jnp.stack([_permute_k(mids[..., 0], vorder),
+                            _permute_k(mids[..., 1], vorder)], axis=-1)
+        slots_p = _permute_k(slots, vorder)
         nontrivial = vcount > 1
         ntc = jnp.maximum(jnp.sum(nontrivial), 1).astype(jnp.int32)
         nt_ixs = jnp.argsort(~nontrivial, stable=True).astype(jnp.int32)
@@ -218,26 +224,24 @@ def _prepare_chains(key, genotypes, attempts, hap_prob, hap_mid,
         max_abs = jnp.nan_to_num(jnp.nanmax(spread), nan=1.0) \
             * cfg.aln_contrib + 10.0
         start_temp = jnp.maximum(-max_abs / jnp.log(cfg.init_prob), 1e-5)
-        return probs_p, mids, slots, vorder, vcount, nt_ixs, ntc, start_temp
+        return probs_p, mids_p, slots_p, vcount, nt_ixs, ntc, start_temp
 
     G = genotypes.shape[0]
-    (probs_g, mids_g, slots_g, vorder_g, vcount_g, nt_g, ntc_g,
+    (probs_g, mids_g, slots_g, vcount_g, nt_g, ntc_g,
      temp_g) = jax.vmap(per_gt)(genotypes)
 
     rep = lambda x: jnp.repeat(x, attempts, axis=0)  # noqa: E731
     gts_rep = rep(genotypes)
     keys_flat = jax.random.split(key, G * attempts)
 
-    def per_attempt(k, gt, probs_p, mids, slots, vorder, vcount):
+    def per_attempt(k, gt, probs_p, mids, slots, vcount):
         kw, kr = jax.random.split(k)
         win_gc, win_weight = _window_tables(
             kw, gt, pack_nwin, pack_regstart, pack_len, gc_at, weight_at,
             cfg.window_size, cfg.tweak, max_windows)
         wins = _read_windows(kr, gt, mids, slots, pack_nwin, pack_regstart,
                              cfg.window_size, cfg.tweak, max_windows)
-        w1 = _permute_k(wins[..., 0], vorder)
-        w2 = _permute_k(wins[..., 1], vorder)
-        winpk = w1 | (w2 << 16)
+        winpk = wins[..., 0] | (wins[..., 1] << 16)
         wtab = win_weight[:, None] * bayes[win_gc, :D_TAB]       # [W, D]
         if random_init:
             u = jax.random.uniform(jax.random.fold_in(kw, 7),
@@ -262,7 +266,7 @@ def _prepare_chains(key, genotypes, attempts, hap_prob, hap_mid,
 
     winpk, wtab, assgn0, depth0, cache0 = jax.vmap(per_attempt)(
         keys_flat, gts_rep, rep(probs_g), rep(mids_g), rep(slots_g),
-        rep(vorder_g), rep(vcount_g))
+        rep(vcount_g))
     return (rep(probs_g), winpk, rep(vcount_g), rep(nt_g), rep(ntc_g),
             wtab, rep(temp_g), assgn0, depth0, cache0)
 
