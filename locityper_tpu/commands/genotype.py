@@ -633,7 +633,7 @@ def _pair_fetched(records):
         yield rec.name, rec.seq, None
 
 
-def _bai_records(bam_path, per):
+def _bai_records(bam_path, per, unplaced: bool = True):
     from ..seq import bai as baio
 
     idx = baio.BaiIndex.load(str(bam_path) + ".bai")
@@ -646,24 +646,27 @@ def _bai_records(bam_path, per):
             continue
         for s, e in ivs:
             yield from baio.fetch(bam_path, idx, rid, s, e)
-    yield from baio.fetch_unplaced(bam_path, idx)
+    if unplaced:
+        yield from baio.fetch_unplaced(bam_path, idx)
 
 
-def _crai_records(cram_path, per, reference):
+def _crai_records(cram_path, per, reference, unplaced: bool = True):
+    """One CramFile serves every region (opening one parses the reference
+    FASTA — per-region reopens would re-decode the genome per interval)."""
     from ..seq import crai as craio
     from ..seq.cram import CramFile
 
     idx = craio.CraiIndex.load(str(cram_path) + ".crai")
-    with CramFile(cram_path) as cf:
+    with CramFile(cram_path, reference) as cf:
         rid_of = {n: i for i, n in enumerate(cf.ref_names)}
-    for chrom, ivs in per.items():
-        rid = rid_of.get(chrom)
-        if rid is None:
-            continue
-        for s, e in ivs:
-            yield from craio.fetch(cram_path, idx, rid, s, e,
-                                   reference=reference)
-    yield from craio.fetch_unplaced(cram_path, idx, reference=reference)
+        for chrom, ivs in per.items():
+            rid = rid_of.get(chrom)
+            if rid is None:
+                continue
+            for s, e in ivs:
+                yield from craio.fetch(cram_path, idx, rid, s, e, cram=cf)
+        if unplaced:
+            yield from craio.fetch_unplaced(cram_path, idx, cram=cf)
 
 
 def _indexed_read_iter(plans, regions, padding: int = FETCH_PADDING,
@@ -786,9 +789,11 @@ def _run(args):
         else:
             need[name] = loci[name]
     if need:
+        from ..seq.fastx import is_fastq_files
         if (len(args.input) == 2 and tech.are_short_reads
                 and not _is_alignment_file(args.input[0])
-                and not _is_alignment_file(args.input[1])):
+                and not _is_alignment_file(args.input[1])
+                and is_fastq_files(args.input)):
             rec, _ = recruit_reads_fast(
                 need, args.input[0], args.input[1], rp,
                 subsample=args.subsample, seed=args.seed)
@@ -838,11 +843,12 @@ def _run(args):
             ldir = out / paths.LOCI_DIR / name
             ldir.mkdir(parents=True, exist_ok=True)
             # aln.bam (reference genotype.rs:1023-1074 writes BAM) plus
-            # the readable SAM.gz twin.
-            for out_name in ("aln.bam", "aln.sam.gz"):
-                write_all_sam(ldir / out_name, all_alns, pairs,
-                              cs.contigs.names, [sq.size for sq in cs.seqs],
-                              cs.seqs, bg.err_prof.score_vec(), params.band)
+            # the readable SAM.gz twin — one record pass feeds both sinks
+            # (the host traceback CIGAR regeneration runs once).
+            write_all_sam([ldir / "aln.bam", ldir / "aln.sam.gz"], all_alns,
+                          pairs, cs.contigs.names,
+                          [sq.size for sq in cs.seqs], cs.seqs,
+                          bg.err_prof.score_vec(), params.band)
             logger.info("[%s] wrote %d modeled reads' alignments to "
                         "aln.bam/aln.sam.gz (%d recruited)", name,
                         all_alns.n_used, len(pairs))
@@ -850,8 +856,7 @@ def _run(args):
 
     scheme = Scheme.parse(args.solvers or [])
     params = Params(unmapped_penalty=tech.default_unmapped_penalty(),
-                    out_bams=args.out_bams or args.out_sams,
-                    bam_format=bool(args.out_bams))
+                    out_bams=args.out_bams, out_sams=args.out_sams)
     _apply_param_args(params, args)
     all_priors = load_priors(args.priors) if args.priors else {}
     weight_files = {}

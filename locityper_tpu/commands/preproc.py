@@ -248,10 +248,12 @@ def _recruit_bg_reads(args, genome, chrom, start, end, counter, tech):
     bg_target = SimpleNamespace(
         contig_set=ContigSet("bg", ["bg"], [padded]),
         kmer_counts=padded_counts)
+    from ..seq.fastx import is_fastq_files
     if (len(args.input) == 2 and tech.are_short_reads
             and not args.interleaved
             and not _is_alignment_file(args.input[0])
-            and not _is_alignment_file(args.input[1])):
+            and not _is_alignment_file(args.input[1])
+            and is_fastq_files(args.input)):
         # 2-FASTQ short reads: the native-parser fast path (no per-read
         # Python), same engine the genotype command uses; it counts the
         # streamed records for seq_info.total_reads.
@@ -293,7 +295,8 @@ def _fetch_bg_reads(args, genome, chrom, start, end):
     the whole input — any mix of indexed BAM (.bai) / CRAM (.crai) files;
     no recruitment needed (the fetch IS region restriction).
     Returns (reads1, reads2, padded_region) or None when not applicable."""
-    from .genotype import _bai_records, _crai_records, _indexed_plan
+    from .genotype import (_bai_records, _crai_records, _indexed_plan,
+                           _pair_fetched)
 
     plans = _indexed_plan(args.input or [], reference=args.reference)
     if not plans:
@@ -302,34 +305,30 @@ def _fetch_bg_reads(args, genome, chrom, start, end):
     pad_lo = max(start - BG_PADDING, 0)
     pad_hi = min(end + BG_PADDING, seq.size)
     per = {chrom: [(pad_lo, pad_hi)]}
-    pending = {}
-    reads1, reads2 = [], []
-    n_single = 0
+    pairs, singles = [], []
     for kind, path in plans:
-        # Region-only fetch: unplaced tails are irrelevant for bg depth.
+        # Region-only fetch (unplaced=False): unplaced tails are
+        # irrelevant for bg depth — skip decoding them entirely.
         if kind == "bai":
-            recs = _bai_records(path, per)
+            recs = _bai_records(path, per, unplaced=False)
         else:
-            recs = _crai_records(path, per, args.reference)
-        for rec in recs:
-            if rec.pos < 0:
-                continue                  # unplaced tail record
-            if not rec.is_paired:
-                reads1.append(rec.seq)
-                n_single += 1
-                continue
-            other = pending.pop(rec.name, None)
-            if other is None:
-                pending[rec.name] = rec
-                continue
-            r1, r2 = (rec, other) if rec.mate_ix == 0 else (other, rec)
-            reads1.append(r1.seq)
-            reads2.append(r2.seq)
-        pending.clear()                   # mates never span input files
-    if n_single and reads2:
-        # keep the majority type; estimation needs a consistent layout
-        if n_single > len(reads2):
-            reads2 = []
+            recs = _crai_records(path, per, args.reference, unplaced=False)
+        # Mates pair within their own file (_pair_fetched); orphans whose
+        # mate fell outside the region pass as single reads.
+        for _name, s1, s2 in _pair_fetched(r for r in recs if r.pos >= 0):
+            if s2 is None:
+                singles.append(s1)
+            else:
+                pairs.append((s1, s2))
+    # Estimation needs ONE consistent layout: majority wins.  reads1 and
+    # reads2 must stay index-aligned (mate i of pair i), so singles never
+    # interleave into a paired layout.
+    if len(pairs) >= len(singles):
+        reads1 = [p[0] for p in pairs]
+        reads2 = [p[1] for p in pairs]
+    else:
+        reads1 = singles + [m for p in pairs for m in p]
+        reads2 = []
     logger.info("Indexed input: fetched %d read(pair)s overlapping the "
                 "background region from %d file(s) (no full scan)",
                 len(reads1), len(plans))

@@ -88,11 +88,12 @@ def run(args):
     from .genotype import (_is_alignment_file, _read_iter, recruit_reads,
                            recruit_reads_fast)
 
-    from ..seq.fastx import probe_fastq_max_len
+    from ..seq.fastx import is_fastq_files, probe_fastq_max_len
 
     if (len(args.input) == 2 and not args.interleaved
             and not _is_alignment_file(args.input[0])
             and not _is_alignment_file(args.input[1])
+            and is_fastq_files(args.input)
             # Pair kernel = short-read semantics; long pairs keep the
             # general engine (recruit_reads routes them appropriately).
             and probe_fastq_max_len(args.input) <= 500):

@@ -30,9 +30,11 @@ class Params:
     filt_diff: float = 100.0 * LN10
     prob_thresh: float = -4.0 * LN10
     dont_skip: bool = False
+    # How many best genotypes get their read assignments written as real
+    # BGZF BAM (model/bam.rs parity) / readable SAM.gz.  Both can be set:
+    # each genotype's records are generated once and teed to both formats.
     out_bams: int = 0
-    # True: write real BGZF BAM (model/bam.rs parity); False: SAM.gz.
-    bam_format: bool = False
+    out_sams: int = 0
     # Alignment candidate search: band width of the DP kernel.  Long reads
     # accumulate indel drift along the diagonal, so the band scales with
     # technology (None = auto: 48 short reads, 160 long reads).

@@ -122,6 +122,30 @@ def _open_sink(path, sq):
         else _SamOut(path, sq)
 
 
+class _TeeOut:
+    """Fans one record stream out to several sinks (BAM + SAM.gz twins):
+    the expensive per-record work — host traceback CIGAR regeneration in
+    _mate_record — runs ONCE regardless of how many formats are written."""
+
+    def __init__(self, paths, sq):
+        self.outs = [_open_sink(p, sq) for p in paths]
+
+    def rec(self, *a, **kw):
+        for o in self.outs:
+            o.rec(*a, **kw)
+
+    def close(self):
+        for o in self.outs:
+            o.close()
+
+
+def _open_sinks(path, sq):
+    if isinstance(path, (list, tuple)):
+        return _TeeOut(path, sq) if len(path) != 1 else _open_sink(path[0],
+                                                                   sq)
+    return _open_sink(path, sq)
+
+
 def write_all_sam(path, all_alns, read_pairs, hap_names, hap_lens, hap_seqs,
                   score_vec, band: int = 48) -> None:
     """Writes ALL candidate alignments of every modeled read to every
@@ -129,8 +153,9 @@ def write_all_sam(path, all_alns, read_pairs, hap_names, hap_lens, hap_seqs,
     genotype.rs:1023-1074): one record per mapped mate per candidate, with
     traceback CIGARs; secondary candidates (per read, beyond its best one)
     carry FLAG 0x100.  XL:f is the candidate's pair ln-probability.
-    A `.bam` path writes real BAM, anything else SAM.gz."""
-    out = _open_sink(path, list(zip(hap_names, hap_lens)))
+    A `.bam` path writes real BAM, anything else SAM.gz; a list of paths
+    writes every format from one record pass."""
+    out = _open_sinks(path, list(zip(hap_names, hap_lens)))
     try:
         for ra in all_alns.reads:
             c1, c2 = read_pairs[ra.read_ix]
@@ -188,7 +213,7 @@ def write_sam(path, gt, tensors, hap_names, hap_lens, read_names,
             and hap_seqs is not None and score_vec is not None)
     haps = sorted(set(gt))
     rid_of = {h: i for i, h in enumerate(haps)}
-    out = _open_sink(path, [(hap_names[h], hap_lens[h]) for h in haps])
+    out = _open_sinks(path, [(hap_names[h], hap_lens[h]) for h in haps])
     try:
         for r, name in enumerate(read_names):
             slot = int(top[r])

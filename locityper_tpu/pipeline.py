@@ -177,7 +177,8 @@ def _finalize_locus(result, locus: LocusData, all_alns, tensors, bg: BgDistr,
         if exp_zeros > 0.1:
             result.warnings.append(f"FewReads({n_reads})")
 
-    if sam_dir is not None and params.out_bams > 0:
+    n_out = max(params.out_bams, params.out_sams)
+    if sam_dir is not None and n_out > 0:
         from .model.sam import write_sam
         from pathlib import Path
         Path(sam_dir).mkdir(parents=True, exist_ok=True)
@@ -186,12 +187,15 @@ def _finalize_locus(result, locus: LocusData, all_alns, tensors, bg: BgDistr,
         read_names = all_alns.names_used
         weights = all_alns.weights_used
         score_vec = bg.err_prof.score_vec()
-        ext = "bam" if params.bam_format else "sam.gz"
         for i, (gt, pred) in enumerate(zip(result.genotypes,
                                            result.predictions)):
-            if i >= params.out_bams or pred.assignments is None:
+            if i >= n_out or pred.assignments is None:
                 break
-            write_sam(Path(sam_dir) / f"{i:02d}.{ext}", tuple(gt), tensors,
+            paths = ([Path(sam_dir) / f"{i:02d}.bam"]
+                     if i < params.out_bams else [])
+            if i < params.out_sams:
+                paths.append(Path(sam_dir) / f"{i:02d}.sam.gz")
+            write_sam(paths, tuple(gt), tensors,
                       hap_names, hap_lens, read_names,
                       pred.assignments[:, :len(read_names)],
                       read_weights=weights, all_alns=all_alns,

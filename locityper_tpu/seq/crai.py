@@ -101,29 +101,41 @@ def build_crai(cram_path, out_path=None) -> CraiIndex:
 
 
 def fetch(cram_path, idx: CraiIndex, rid: int, start: int, end: int,
-          reference=None, keep_flags: int = SKIP_MASK):
+          reference=None, keep_flags: int = SKIP_MASK, cram=None):
     """Yields primary records overlapping [start, end) (0-based) of
-    reference `rid`, decoding only the containers the index points at."""
-    with CramFile(cram_path, reference) as cf:
+    reference `rid`, decoding only the containers the index points at.
+
+    cram: an already-open CramFile to reuse across calls — opening one
+    re-parses the reference FASTA, so multi-region callers MUST share one
+    (commands/genotype.py:_crai_records)."""
+    cf = cram if cram is not None else CramFile(cram_path, reference)
+    try:
         for off in idx.container_offsets(rid, start, end):
             for r in cf.container_records(off):
                 if r.flag & keep_flags:
                     continue
                 if r.ref_id == rid and r.pos < end and r.end > start:
                     yield r
+    finally:
+        if cram is None:
+            cf.close()
 
 
 def fetch_unplaced(cram_path, idx: CraiIndex, reference=None,
-                   keep_flags: int = SKIP_MASK):
+                   keep_flags: int = SKIP_MASK, cram=None):
     """Yields unmapped-unplaced primary records (ref_id -1), e.g. mates
     of reads whose placements were filtered away (fastx.rs:640-660)."""
-    with CramFile(cram_path, reference) as cf:
+    cf = cram if cram is not None else CramFile(cram_path, reference)
+    try:
         for off in idx.unplaced_offsets():
             for r in cf.container_records(off):
                 if r.flag & keep_flags:
                     continue
                 if r.ref_id < 0 or (r.flag & FLAG_UNMAPPED and r.pos < 0):
                     yield r
+    finally:
+        if cram is None:
+            cf.close()
 
 
 def index_path(cram_path) -> Path:

@@ -161,6 +161,23 @@ def _bucket_len(n: int) -> int:
     return max(192, -(-int(n) // 64) * 64)
 
 
+def is_fastq_files(paths) -> bool:
+    """True iff every path is (decompressed) FASTQ — first non-whitespace
+    byte is '@'.  Gates the native-parser fast paths: the C++ parser
+    handles FASTQ only, and feeding it FASTA would silently yield zero
+    records (kernels.cpp stops at a non-'@' record start)."""
+    from ..utils.io import smart_open_bytes
+    for path in paths:
+        try:
+            with smart_open_bytes(path) as f:
+                head = f.read(64)
+        except OSError:
+            return False
+        if not head.lstrip()[:1] == b"@":
+            return False
+    return True
+
+
 def probe_fastq_max_len(paths, n_bytes: int = 1 << 22) -> int:
     """Longest sequence among the leading records of each file (one
     decompressed chunk per file).  Sizes the dense batch width so typical

@@ -274,7 +274,7 @@ def produce_result(ixs, predictions: dict, genotypes, tag: str,
     """(solve.rs:472-524)."""
     THRESH = np.log(1e-5)
     MAX_GENOTYPES = 50
-    min_output = max(4, params.out_bams)
+    min_output = max(4, params.out_bams, params.out_sams)
     thresh_prob = min(THRESH, params.prob_thresh)
     order = sorted(ixs.tolist(), key=lambda i: -predictions[i].lik_mean)
     n = min(len(order), MAX_GENOTYPES)

@@ -191,7 +191,7 @@ def test_assignment_bam_matches_sam(tmp_path):
     names = reads.names[:150]
     bg = make_bg()
     params = Params(unmapped_penalty=bg.seq_info.technology
-                    .default_unmapped_penalty(), out_bams=1)
+                    .default_unmapped_penalty(), out_sams=1)
     params.set_tweak_size(bg.depth.window_size)
     params.band = 48
     scheme = Scheme.parse(["anneal:i=6,a=6,n=1500,p=800"])
@@ -200,7 +200,8 @@ def test_assignment_bam_matches_sam(tmp_path):
     res_s, _ = genotype_locus(data, pairs, names, bg, params=params,
                               scheme=scheme, seed=9,
                               sam_dir=tmp_path / "sams")
-    params.bam_format = True
+    params.out_sams = 0
+    params.out_bams = 1
     res_b, _ = genotype_locus(data, pairs, names, bg, params=params,
                               scheme=scheme, seed=9,
                               sam_dir=tmp_path / "bams")

@@ -210,7 +210,7 @@ def test_genotype_panel_out_sams_and_multistage(panel, tmp_path):
     bg = make_bg()
     tech = bg.seq_info.technology
     params = Params(unmapped_penalty=tech.default_unmapped_penalty(),
-                    out_bams=1, dont_skip=True)
+                    out_sams=1, dont_skip=True)
     params.set_tweak_size(bg.depth.window_size)
     if params.band is None:
         params.band = 48
