@@ -41,10 +41,10 @@ def mk():
             m1[i,:150] = genome[s:s+150]; m2[i,:150] = genome[s+250:s+400]
     return jax.device_put(m1), jax.device_put(m2)
 ins = [mk() for _ in range(2)]
-keys, fm, bm, rm = map(jax.device_put, (dev.keys_signed, dev.fw_mask, dev.bw_mask, dev.rare_mask))
+ta, tb = map(jax.device_put, dev.tables())
 
 def run(a, b):
-    return recruit_pairs_batch(dev.cfg, a, b, keys, fm, bm, rm)
+    return recruit_pairs_batch(dev.cfg, a, b, ta, tb)
 
 t0=time.perf_counter()
 first = np.asarray(run(*ins[0]))

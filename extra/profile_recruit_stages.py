@@ -144,7 +144,7 @@ for BB in (4096, 8192, 16384, 32768):
     da, db = jax.device_put(a), jax.device_put(b)
 
     def full(da=da, db=db):
-        return R.recruit_pairs_batch(cfg, da, db, keys, fm, bm, rm)
+        return R.recruit_pairs_batch(cfg, da, db, *map(jax.device_put, dev.tables()))
 
     hits = bench(f"full_pairs_B{BB}", full, iters=8,
                  pairs_per_s=None)

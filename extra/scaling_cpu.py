@@ -73,8 +73,7 @@ def run_one(n: int) -> None:
     def recruit_once():
         if mesh is not None:
             return np.asarray(sharded_recruit_pairs(
-                mesh, dev.cfg, r1, r2, dev.keys_signed, dev.fw_mask,
-                dev.bw_mask, dev.rare_mask))
+                mesh, dev.cfg, r1, r2, *dev.tables()))
         from locityper_tpu.ops.recruit import run_pairs
         return run_pairs(dev, r1, r2)
 

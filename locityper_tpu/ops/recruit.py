@@ -36,7 +36,74 @@ SIGN_BIT = 0x80000000
 BIG_S32 = np.int32(0x7FFFFFFF)          # UNDEF32 under the signed view
 _HASH_TB = 256                          # pallas batch tile
 
-_Cfg = namedtuple("_Cfg", "n_loci n_groups k w frac_p frac_q")
+_Cfg = namedtuple("_Cfg", "n_loci n_groups k w frac_p frac_q lookup "
+                          "shift_b shift_t")
+
+#: Key-count threshold above which the displacement hash replaces the
+#: sorted-table binary search.  Chip-measured (BENCH_NOTES round 3 /
+#: extra/profile_hash_lookup.py): searchsorted grows with M while the
+#: 2-gather hash lookup is flat — break-even ~100k keys, 1.4x faster at
+#: 250k (30-locus panels).
+HASH_MIN_KEYS = 1 << 17
+_HC1 = np.uint32(0x9E3779B1)      # bucket hash multiplier
+_HC2 = np.uint32(0x85EBCA77)      # slot hash multiplier
+_HC3 = np.uint32(0xC2B2AE3D)      # displacement-seed multiplier
+
+
+def _build_disp_hash(keys: np.ndarray, packed: np.ndarray):
+    """Hash-and-displace (Pagh) perfect-ish hashing, vectorized build:
+    every key lands in a UNIQUE slot of a [T, W] table via
+    slot = ((key ^ d*C3) * C2) >> shift_t with a per-bucket displacement
+    d = d_tab[(key*C1) >> shift_b].  Device lookup is two dependent
+    gathers and no sort.  Deterministic: buckets commit in rounds with
+    lowest-bucket-id priority on slot contention.
+
+    Returns (d_tab [Bk] uint32, shift_b, shift_t, table [T, W] uint32)
+    where table[:, 0] is the key (UNDEF32 sentinel in empty slots —
+    never a valid minimizer hash, seq/kmers semantics)."""
+    M = keys.size
+    T = 1 << max(int(np.ceil(np.log2(max(M, 2) * 2.0))), 4)
+    Bk = 1 << max(int(np.ceil(np.log2(max(M, 2)))), 4)
+    shift_b = 32 - int(np.log2(Bk))
+    shift_t = 32 - int(np.log2(T))
+    with np.errstate(over="ignore"):
+        b = ((keys * _HC1) >> np.uint32(shift_b)).astype(np.int64)
+        d_tab = np.zeros(Bk, np.uint32)
+        taken = np.zeros(T, bool)
+        slot_of = np.zeros(M, np.int64)
+        unplaced = np.ones(M, bool)
+        for _round in range(100_000):
+            ki = np.nonzero(unplaced)[0]
+            if ki.size == 0:
+                break
+            kb = b[ki]
+            slots = (((keys[ki] ^ (d_tab[kb] * _HC3)) * _HC2)
+                     >> np.uint32(shift_t)).astype(np.int64)
+            # A key wins its slot iff the slot is free and it is the first
+            # claimant in (slot, bucket-id) order; a bucket commits iff
+            # ALL its keys win (within-bucket duplicates lose too).
+            order = np.lexsort((kb, slots))
+            ss = slots[order]
+            win_sorted = np.ones(ss.size, bool)
+            win_sorted[1:] = ss[1:] != ss[:-1]
+            win_sorted &= ~taken[ss]
+            win = np.empty(ss.size, bool)
+            win[order] = win_sorted
+            bucket_ok = np.ones(Bk, bool)
+            np.logical_and.at(bucket_ok, kb, win)
+            commit = bucket_ok[kb]
+            ci = ki[commit]
+            taken[slots[commit]] = True
+            slot_of[ci] = slots[commit]
+            unplaced[ci] = False
+            failed = np.unique(kb[~commit])
+            d_tab[failed] += np.uint32(1)
+        else:
+            raise RuntimeError("displacement hash build did not converge")
+    table = np.zeros((T, packed.shape[1]), np.uint32)
+    table[:, 0] = np.uint32(0xFFFFFFFF)
+    table[slot_of] = packed
+    return d_tab, shift_b, shift_t, table
 
 
 @dataclass(frozen=True, eq=False)
@@ -81,9 +148,43 @@ class DeviceIndex:
                    frac_p=frac.numerator, frac_q=frac.denominator)
 
     @property
+    def packed(self) -> np.ndarray:
+        """[M, 1+3G] uint32: key + fw/bw/rare bitmaps in ONE row — key
+        verification and all three bitmaps cost a single row gather."""
+        if not hasattr(self, "_packed"):
+            object.__setattr__(self, "_packed", np.concatenate(
+                [self.keys[:, None], self.fw_mask, self.bw_mask,
+                 self.rare_mask], axis=1).astype(np.uint32))
+        return self._packed
+
+    @property
     def cfg(self) -> "_Cfg":
         return _Cfg(self.n_loci, self.n_groups, self.k, self.w,
-                    self.frac_p, self.frac_q)
+                    self.frac_p, self.frac_q, *self._lookup_mode())
+
+    def _lookup_mode(self):
+        """(lookup, shift_b, shift_t): 'hash' above HASH_MIN_KEYS keys
+        (flat 2-gather lookup), 'sorted' below (searchsorted wins at
+        small M — chip profile in BENCH_NOTES round 3)."""
+        if self.keys.size >= HASH_MIN_KEYS:
+            self._hash_tables()                      # sizes fix the shifts
+            return ("hash", self._hash[1], self._hash[2])
+        return ("sorted", 0, 0)
+
+    def _hash_tables(self):
+        if not hasattr(self, "_hash"):
+            object.__setattr__(self, "_hash",
+                               _build_disp_hash(self.keys, self.packed))
+        return self._hash
+
+    def tables(self):
+        """The two lookup tables the kernels take, as host numpy:
+        sorted mode -> (keys_signed [M], packed [M, 1+3G]);
+        hash mode -> (d_tab [Bk], hash table [T, 1+3G])."""
+        if self.keys.size >= HASH_MIN_KEYS:
+            d_tab, _sb, _st, table = self._hash_tables()
+            return d_tab, table
+        return self.keys_signed, self.packed
 
     @property
     def keys_signed(self) -> np.ndarray:
@@ -96,8 +197,7 @@ class DeviceIndex:
         chips, BENCH_NOTES round 2)."""
         if not hasattr(self, "_dev_args"):
             object.__setattr__(self, "_dev_args", tuple(
-                jax.device_put(a) for a in (self.keys_signed, self.fw_mask,
-                                            self.bw_mask, self.rare_mask)))
+                jax.device_put(a) for a in self.tables()))
         return self._dev_args
 
 
@@ -247,12 +347,41 @@ def _hash_mask(reads, k: int, w: int):
     return hs, is_fw, mask
 
 
-def _mate_counters(reads, cfg: _Cfg, keys, fw_mask, bw_mask, rare_mask):
+def _lookup_rows(cfg: _Cfg, h, mask, tbl_a, tbl_b):
+    """(found [B, S] bool, rows [B, S, 1+3G] uint32): one packed index row
+    per minimizer query — key verification and all three bitmaps ride ONE
+    row gather (random-row gathers dominate this kernel, BENCH_NOTES r3).
+
+    Two lookup modes (DeviceIndex.tables):
+    - 'sorted': binary search over the signed-view sorted keys
+      (method='sort' — one global sort of queries+keys, ~4x faster on TPU
+      than the default log2(M) gather scan at this size).
+    - 'hash': displacement hash — two dependent gathers, no sort; flat in
+      M, wins above HASH_MIN_KEYS (extra/profile_hash_lookup.py)."""
+    # h is the SIGNED order-preserving view (see SIGN_BIT); the packed /
+    # hash tables store RAW uint32 keys — un-flip before comparing.
+    h_u = jax.lax.bitcast_convert_type(h, jnp.uint32) ^ jnp.uint32(SIGN_BIT)
+    if cfg.lookup == "hash":
+        b = (h_u * _HC1) >> jnp.uint32(cfg.shift_b)
+        d = tbl_a[b.reshape(-1)]
+        slot = ((h_u.reshape(-1) ^ (d * _HC3)) * _HC2) \
+            >> jnp.uint32(cfg.shift_t)
+        rows = tbl_b[slot].reshape(h.shape + (tbl_b.shape[1],))
+    else:
+        M = tbl_a.shape[0]
+        idx = jnp.searchsorted(tbl_a, h.reshape(-1), method="sort")
+        idx = jnp.minimum(idx, M - 1)
+        rows = tbl_b[idx].reshape(h.shape + (tbl_b.shape[1],))
+    found = (rows[..., 0] == h_u) & mask
+    return found, rows
+
+
+def _mate_counters(reads, cfg: _Cfg, tbl_a, tbl_b):
     """Per-locus counters [B, n_loci, 4] = [bw_c, fw_c, bw_r, fw_r] and the
     minimizer totals [B] — via bitmap extraction, no scatters.
 
-    `keys` is the SIGNED view of the sorted minimizer table
-    (DeviceIndex.keys_signed)."""
+    (tbl_a, tbl_b) are DeviceIndex.tables() in the layout cfg.lookup
+    names (see _lookup_rows)."""
     h, is_fw, mask = _hash_mask(reads, cfg.k, cfg.w)
     total = jnp.sum(mask, axis=1).astype(jnp.int32)
 
@@ -261,7 +390,7 @@ def _mate_counters(reads, cfg: _Cfg, keys, fw_mask, bw_mask, rare_mask):
     # expected per-read minimizer count is 2P/(w+1); the cap below is
     # >2.5x that mean, so by a Chernoff bound the truncation probability
     # per read is < 1e-9 (and truncation only DROPS matches — strictly
-    # conservative for recruitment).  This cuts the searchsorted and
+    # conservative for recruitment).  This cuts the lookup and
     # bitmap-extraction work ~P/S ≈ (w+1)/5-fold.
     S = min(P, max(4 * (P // (cfg.w + 1)) + 16, 16))
     order = jnp.argsort(~mask, axis=1, stable=True)[:, :S]
@@ -269,22 +398,8 @@ def _mate_counters(reads, cfg: _Cfg, keys, fw_mask, bw_mask, rare_mask):
     is_fw = jnp.take_along_axis(is_fw, order, axis=1)
     mask = jnp.take_along_axis(mask, order, axis=1)
 
-    M = keys.shape[0]
     G = cfg.n_groups
-    # method='sort' (one global sort of queries+keys) is ~4x faster on TPU
-    # than the default scan (log2(M) sequential gathers) at this size.
-    idx = jnp.searchsorted(keys, h.reshape(-1), method="sort").reshape(B, S)
-    idx = jnp.minimum(idx, M - 1)
-    # ONE row gather serves the key verification AND all three bitmaps:
-    # random-row gathers dominate this kernel (profile in BENCH_NOTES r3:
-    # 4 separate gathers ≈ half the kernel), and a [M, 1+3G] row costs the
-    # same fetch as a [M, 1] one.
-    packed = jnp.concatenate(
-        [jax.lax.bitcast_convert_type(keys, jnp.uint32)[:, None],
-         fw_mask, bw_mask, rare_mask], axis=1)            # [M, 1+3G]
-    tbl = packed[idx]                                     # [B, S, 1+3G]
-    h_u = jax.lax.bitcast_convert_type(h, jnp.uint32)
-    found = (tbl[..., 0] == h_u) & mask
+    found, tbl = _lookup_rows(cfg, h, mask, tbl_a, tbl_b)
 
     per_group = []
     for g in range(G):
@@ -328,10 +443,9 @@ def _numer_denoms(counts, total):
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def recruit_short_batch(cfg, reads, keys, fw_mask, bw_mask, rare_mask):
+def recruit_short_batch(cfg, reads, tbl_a, tbl_b):
     """[B, n_loci] bool decisions for short single-end reads."""
-    counts, total = _mate_counters(reads, cfg, keys, fw_mask, bw_mask,
-                                   rare_mask)
+    counts, total = _mate_counters(reads, cfg, tbl_a, tbl_b)
     fw_n, bw_n, fw_d, bw_d, has_rare = _numer_denoms(counts, total)
     use_fw = fw_n >= bw_n
     numer = jnp.where(use_fw, fw_n, bw_n)
@@ -341,14 +455,13 @@ def recruit_short_batch(cfg, reads, keys, fw_mask, bw_mask, rare_mask):
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def recruit_pairs_batch(cfg, reads1, reads2, keys, fw_mask, bw_mask,
-                        rare_mask):
+def recruit_pairs_batch(cfg, reads1, reads2, tbl_a, tbl_b):
     """[B, n_loci] bool decisions for read pairs (strand-consistent joint
     orientation, both mates must pass; recruit.rs:885-932).  Both mates run
     as ONE [2B, L] counter pass (halves the fixed per-pass cost)."""
     B = reads1.shape[0]
     both = jnp.concatenate([reads1, reads2], axis=0)
-    c, t = _mate_counters(both, cfg, keys, fw_mask, bw_mask, rare_mask)
+    c, t = _mate_counters(both, cfg, tbl_a, tbl_b)
     c1, c2 = c[:B], c[B:]
     t1, t2 = t[:B], t[B:]
     fw_n1, bw_n1, fw_d1, bw_d1, rare1 = _numer_denoms(c1, t1)
@@ -389,12 +502,12 @@ def _max_subarray(v):
 
 @functools.partial(jax.jit, static_argnames=("cfg", "stretch_minims",
                                              "stretch_score"))
-def recruit_long_batch(cfg, reads, keys, fw_mask, bw_mask, rare_mask,
-                       stretch_minims: int, stretch_score: int):
+def recruit_long_batch(cfg, reads, tbl_a, tbl_b, stretch_minims: int,
+                       stretch_score: int):
     """[B, n_loci] bool decisions for long single-end reads
     (recruit.rs:966-997): rare-match fraction threshold + Kadane matching
-    stretch, both evaluated for every locus at once on device.  `keys` is
-    the signed view (DeviceIndex.keys_signed)."""
+    stretch, both evaluated for every locus at once on device.
+    (tbl_a, tbl_b) are DeviceIndex.tables()."""
     h, is_fw, mask = _hash_mask(reads, cfg.k, cfg.w)
     total = jnp.sum(mask, axis=1).astype(jnp.int32)
 
@@ -405,10 +518,8 @@ def recruit_long_batch(cfg, reads, keys, fw_mask, bw_mask, rare_mask,
     is_fw = jnp.take_along_axis(is_fw, order, axis=1)
     mask = jnp.take_along_axis(mask, order, axis=1)
 
-    M = keys.shape[0]
-    idx = jnp.searchsorted(keys, h.reshape(-1), method="sort").reshape(B, S)
-    idx = jnp.minimum(idx, M - 1)
-    found = (keys[idx] == h) & mask
+    G = cfg.n_groups
+    found, tbl = _lookup_rows(cfg, h, mask, tbl_a, tbl_b)
 
     # Counters (as _mate_counters) and per-position per-locus stretch values.
     SUB_P, SUB_B = 1, 3         # SUBSUM_PENALTY / SUBSUM_BONUS
@@ -416,9 +527,9 @@ def recruit_long_batch(cfg, reads, keys, fw_mask, bw_mask, rare_mask,
     per_group_vfw = []
     per_group_vbw = []
     for g in range(cfg.n_groups):
-        fmask = jnp.where(found, fw_mask[idx, g], 0)
-        bmask = jnp.where(found, bw_mask[idx, g], 0)
-        rmask = rare_mask[idx, g]
+        fmask = jnp.where(found, tbl[..., 1 + g], 0)
+        bmask = jnp.where(found, tbl[..., 1 + G + g], 0)
+        rmask = tbl[..., 1 + 2 * G + g]
         m_fwdir = jnp.where(is_fw, fmask, bmask)
         m_bwdir = jnp.where(is_fw, bmask, fmask)
         n_here = min(32, cfg.n_loci - 32 * g)

@@ -167,12 +167,12 @@ def sharded_align(mesh: Mesh, reads, rlens, hap_wins, score_vec,
     return {k: np.asarray(v)[:N] for k, v in res.items()}
 
 
-def sharded_recruit_pairs(mesh: Mesh, cfg, reads1, reads2, keys_signed,
-                          fw_mask, bw_mask, rare_mask):
+def sharded_recruit_pairs(mesh: Mesh, cfg, reads1, reads2, tbl_a, tbl_b):
     """Read-batch-sharded pair recruitment (P1 of SURVEY.md §2.3): the
     [B, L] batches split along the full mesh; each device classifies its
     shard with the local kernel — no collectives (the reference's
-    recruitment task farm, recruit.rs:1103-1311)."""
+    recruitment task farm, recruit.rs:1103-1311).  (tbl_a, tbl_b) are
+    DeviceIndex.tables() (sorted or hash layout per cfg.lookup)."""
     from ..ops.recruit import recruit_pairs_batch
 
     n = mesh.devices.size
@@ -184,17 +184,16 @@ def sharded_recruit_pairs(mesh: Mesh, cfg, reads1, reads2, keys_signed,
         reads2 = np.concatenate(
             [reads2, np.full((pad, reads2.shape[1]), 4, reads2.dtype)])
 
-    def local(r1, r2, k, f, b, rr):
-        return recruit_pairs_batch(cfg, r1, r2, k, f, b, rr)
+    def local(r1, r2, ta, tb):
+        return recruit_pairs_batch(cfg, r1, r2, ta, tb)
 
     fn = shard_map(
         local, mesh=mesh,
-        in_specs=(P(("read", "gt")), P(("read", "gt")), P(), P(), P(), P()),
+        in_specs=(P(("read", "gt")), P(("read", "gt")), P(), P()),
         out_specs=P(("read", "gt")),
         check_rep=False)
     hits = fn(jnp.asarray(reads1), jnp.asarray(reads2),
-              jnp.asarray(keys_signed), jnp.asarray(fw_mask),
-              jnp.asarray(bw_mask), jnp.asarray(rare_mask))
+              jnp.asarray(tbl_a), jnp.asarray(tbl_b))
     return hits[:B]
 
 
@@ -213,20 +212,16 @@ class MeshPairRecruiter:
 
         self.mesh = mesh
         repl = jax.sharding.NamedSharding(mesh, P())
-        self._tables = tuple(
-            jax.device_put(a, repl)
-            for a in (dev.keys_signed, dev.fw_mask, dev.bw_mask,
-                      dev.rare_mask))
+        self._tables = tuple(jax.device_put(a, repl) for a in dev.tables())
         self._in_shard = jax.sharding.NamedSharding(mesh, P(("read", "gt")))
         cfg = dev.cfg
 
-        def local(r1, r2, k, f, b, rr):
-            return recruit_pairs_batch(cfg, r1, r2, k, f, b, rr)
+        def local(r1, r2, ta, tb):
+            return recruit_pairs_batch(cfg, r1, r2, ta, tb)
 
         self._fn = jax.jit(shard_map(
             local, mesh=mesh,
-            in_specs=(P(("read", "gt")), P(("read", "gt")), P(), P(), P(),
-                      P()),
+            in_specs=(P(("read", "gt")), P(("read", "gt")), P(), P()),
             out_specs=P(("read", "gt")), check_rep=False))
 
     def run_async(self, reads1: np.ndarray, reads2: np.ndarray):

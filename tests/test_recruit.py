@@ -347,7 +347,80 @@ def test_sharded_recruit_matches_single_device():
     single = run_pairs(dev, r1, r2)
     mesh = make_mesh()
     sharded = np.asarray(sharded_recruit_pairs(
-        mesh, dev.cfg, r1, r2, dev.keys_signed, dev.fw_mask, dev.bw_mask,
-        dev.rare_mask))
+        mesh, dev.cfg, r1, r2, *dev.tables()))
     np.testing.assert_array_equal(sharded, single)
     assert single.any() and not single.all()
+
+
+class TestHashLookup:
+    """The displacement-hash lookup (ops/recruit.py HASH_MIN_KEYS path)
+    must make decisions bit-identical to the sorted-table path — same
+    kernels, different (tbl_a, tbl_b) layout + cfg.lookup."""
+
+    def _force_hash(self, index, monkeypatch):
+        from locityper_tpu.ops import recruit as R
+        monkeypatch.setattr(R, "HASH_MIN_KEYS", 1)
+        return R.DeviceIndex.from_index(index)
+
+    def test_build_is_perfect(self, index, monkeypatch):
+        from locityper_tpu.ops import recruit as R
+        dev = self._force_hash(index, monkeypatch)
+        d_tab, shift_b, shift_t, table = dev._hash_tables()
+        keys = dev.keys
+        with np.errstate(over="ignore"):
+            b = (keys * R._HC1) >> np.uint32(shift_b)
+            slots = ((keys ^ (d_tab[b.astype(np.int64)] * R._HC3)) * R._HC2) \
+                >> np.uint32(shift_t)
+        assert np.unique(slots).size == keys.size       # injective
+        np.testing.assert_array_equal(table[slots.astype(np.int64), 0], keys)
+
+    def test_pairs_hash_equals_sorted(self, world, index, monkeypatch):
+        from locityper_tpu.ops.recruit import DeviceIndex, run_pairs
+        rng, genome, locus, _, _, _ = world
+        dev_sorted = DeviceIndex.from_index(index)
+        assert dev_sorted.cfg.lookup == "sorted"    # evaluated pre-patch
+        reads = sim.simulate_paired_reads(
+            rng, [locus.haplotypes[i] for i in locus.true_genotype], depth=2)
+        n = min(64, len(reads.reads1))
+        B, L = 64, 160
+        r1 = np.full((B, L), 4, np.int8)
+        r2 = np.full((B, L), 4, np.int8)
+        for i in range(n):
+            a, b = reads.reads1[i], reads.reads2[i]
+            r1[i, :min(a.size, L)] = a[:L]
+            r2[i, :min(b.size, L)] = b[:L]
+        for i in range(0, n, 4):                       # noise rows
+            r1[i, :150] = genome[3000 + 150 * i:3150 + 150 * i]
+        got_s = run_pairs(dev_sorted, r1, r2)
+        dev_hash = self._force_hash(index, monkeypatch)
+        assert dev_hash.cfg.lookup == "hash"
+        got_h = run_pairs(dev_hash, r1, r2)
+        np.testing.assert_array_equal(got_h, got_s)
+        assert got_s.any()
+
+    def test_short_and_long_hash_equal_sorted(self, world, index,
+                                              monkeypatch):
+        from locityper_tpu.ops.recruit import (DeviceIndex, run_long,
+                                               run_short)
+        rng, genome, locus, _, _, _ = world
+        dev_sorted = DeviceIndex.from_index(index)
+        B, L = 32, 192
+        m = np.full((B, L), 4, np.int8)
+        for i in range(B):
+            src = locus.haplotypes[i % 3] if i % 2 else genome
+            s = int(rng.integers(0, src.size - L))
+            m[i, :150] = src[s:s + 150]
+        Ll = 1024
+        ml = np.full((8, Ll), 4, np.int8)
+        for i in range(8):
+            src = locus.haplotypes[i % 3] if i % 2 else genome
+            s = int(rng.integers(0, src.size - Ll))
+            ml[i] = src[s:s + Ll]
+        p = index.params
+        short_s = run_short(dev_sorted, m)
+        long_s = run_long(dev_sorted, ml, p.stretch_minims, p.stretch_score)
+        dev_hash = self._force_hash(index, monkeypatch)
+        np.testing.assert_array_equal(run_short(dev_hash, m), short_s)
+        np.testing.assert_array_equal(
+            run_long(dev_hash, ml, p.stretch_minims, p.stretch_score),
+            long_s)
