@@ -676,12 +676,16 @@ def _indexed_read_iter(plans, regions, padding: int = FETCH_PADDING,
     BAM/CRAM inputs — the reference's fetch-region recruitment
     (genotype.rs:792-870, fastx.rs:586-887).  Each input is an
     independent read set; mates pair within their own file."""
+    import contextlib
     per = _merge_regions(regions, padding)
     for kind, path in plans:
-        if kind == "bai":
-            yield from _pair_fetched(_bai_records(path, per))
-        else:
-            yield from _pair_fetched(_crai_records(path, per, reference))
+        maker = (_bai_records(path, per) if kind == "bai"
+                 else _crai_records(path, per, reference))
+        # closing() propagates an early-exit close into the record
+        # generator so the underlying BAM/CRAM handle is released
+        # deterministically, not at GC time.
+        with contextlib.closing(maker) as records:
+            yield from _pair_fetched(records)
 
 
 def _is_alignment_file(path) -> bool:
@@ -813,8 +817,11 @@ def _run(args):
                 reads_iter = _read_iter(
                     args.input, args.interleaved,
                     reference=getattr(args, "reference", None))
-            rec, _ = recruit_reads(need, reads_iter, rp,
-                                   subsample=args.subsample, seed=args.seed)
+            import contextlib
+            with contextlib.closing(reads_iter):
+                rec, _ = recruit_reads(need, reads_iter, rp,
+                                       subsample=args.subsample,
+                                       seed=args.seed)
         recruited.update(rec)
         for name in need:
             _save_recruited(out / paths.LOCI_DIR / name, *recruited[name])

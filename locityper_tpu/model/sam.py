@@ -141,6 +141,9 @@ class _TeeOut:
 
 def _open_sinks(path, sq):
     if isinstance(path, (list, tuple)):
+        if not path:
+            raise ValueError("no output paths given — a zero-sink tee "
+                             "would silently discard every record")
         return _TeeOut(path, sq) if len(path) != 1 else _open_sink(path[0],
                                                                    sq)
     return _open_sink(path, sq)

@@ -18,6 +18,7 @@ match-fraction threshold.
 from __future__ import annotations
 
 import functools
+import logging
 from collections import namedtuple
 from dataclasses import dataclass
 
@@ -165,16 +166,25 @@ class DeviceIndex:
     def _lookup_mode(self):
         """(lookup, shift_b, shift_t): 'hash' above HASH_MIN_KEYS keys
         (flat 2-gather lookup), 'sorted' below (searchsorted wins at
-        small M — chip profile in BENCH_NOTES round 3)."""
+        small M — chip profile in BENCH_NOTES round 3).  A pathological
+        key set whose displacement search does not converge falls back
+        to sorted mode (warned once) instead of aborting the run."""
         if self.keys.size >= HASH_MIN_KEYS:
-            self._hash_tables()                      # sizes fix the shifts
-            return ("hash", self._hash[1], self._hash[2])
+            h = self._hash_tables()                  # sizes fix the shifts
+            if h is not None:
+                return ("hash", h[1], h[2])
         return ("sorted", 0, 0)
 
     def _hash_tables(self):
         if not hasattr(self, "_hash"):
-            object.__setattr__(self, "_hash",
-                               _build_disp_hash(self.keys, self.packed))
+            try:
+                h = _build_disp_hash(self.keys, self.packed)
+            except RuntimeError as e:
+                logging.getLogger("locityper").warning(
+                    "%s for %d keys — using the sorted-lookup path",
+                    e, self.keys.size)
+                h = None
+            object.__setattr__(self, "_hash", h)
         return self._hash
 
     def tables(self):
@@ -182,8 +192,10 @@ class DeviceIndex:
         sorted mode -> (keys_signed [M], packed [M, 1+3G]);
         hash mode -> (d_tab [Bk], hash table [T, 1+3G])."""
         if self.keys.size >= HASH_MIN_KEYS:
-            d_tab, _sb, _st, table = self._hash_tables()
-            return d_tab, table
+            h = self._hash_tables()
+            if h is not None:
+                d_tab, _sb, _st, table = h
+                return d_tab, table
         return self.keys_signed, self.packed
 
     @property

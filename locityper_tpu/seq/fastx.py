@@ -170,10 +170,15 @@ def is_fastq_files(paths) -> bool:
     for path in paths:
         try:
             with smart_open_bytes(path) as f:
-                head = f.read(64)
+                head = f.read(64).lstrip()
+                while not head:                     # all-whitespace chunk
+                    chunk = f.read(64)
+                    if not chunk:
+                        break                       # EOF: empty file
+                    head = chunk.lstrip()
         except OSError:
             return False
-        if not head.lstrip()[:1] == b"@":
+        if not head[:1] == b"@":
             return False
     return True
 

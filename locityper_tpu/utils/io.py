@@ -30,13 +30,30 @@ def smart_open(path):
     return io.TextIOWrapper(f)
 
 
+class _ClosingGzipFile(gzip.GzipFile):
+    """GzipFile that also closes the raw file object it wraps (plain
+    GzipFile(fileobj=...) leaks the underlying fd on close)."""
+
+    def close(self):
+        raw = self.fileobj
+        try:
+            super().close()
+        finally:
+            if raw is not None:
+                raw.close()
+
+
 def smart_open_bytes(path):
     path = Path(path)
     f = open(path, "rb")
-    magic = f.read(2)
-    f.seek(0)
+    try:
+        magic = f.read(2)
+        f.seek(0)
+    except OSError:
+        f.close()
+        raise
     if magic == b"\x1f\x8b":
-        return gzip.GzipFile(fileobj=f, mode="rb")
+        return _ClosingGzipFile(fileobj=f, mode="rb")
     return f
 
 

@@ -424,3 +424,33 @@ class TestHashLookup:
         np.testing.assert_array_equal(
             run_long(dev_hash, ml, p.stretch_minims, p.stretch_score),
             long_s)
+
+    def test_nonconvergent_build_falls_back_to_sorted(self, world, index,
+                                                      monkeypatch):
+        """A pathological key set whose displacement search never
+        converges must fall back to the sorted-lookup path with a
+        warning, not abort the run (advisor r3)."""
+        from locityper_tpu.ops import recruit as R
+
+        def boom(keys, packed):
+            raise RuntimeError("displacement hash build did not converge")
+
+        monkeypatch.setattr(R, "HASH_MIN_KEYS", 1)
+        monkeypatch.setattr(R, "_build_disp_hash", boom)
+        dev = R.DeviceIndex.from_index(index)
+        assert dev.cfg.lookup == "sorted"
+        tbl_a, tbl_b = dev.tables()
+        np.testing.assert_array_equal(tbl_a, dev.keys_signed)
+        np.testing.assert_array_equal(tbl_b, dev.packed)
+        rng, genome, locus, _, _, _ = world
+        B, L = 16, 160
+        r1 = np.full((B, L), 4, np.int8)
+        r2 = np.full((B, L), 4, np.int8)
+        reads = sim.simulate_paired_reads(
+            rng, [locus.haplotypes[i] for i in locus.true_genotype], depth=1)
+        for i in range(min(B, len(reads.reads1))):
+            a, b = reads.reads1[i], reads.reads2[i]
+            r1[i, :min(a.size, L)] = a[:L]
+            r2[i, :min(b.size, L)] = b[:L]
+        got = R.run_pairs(dev, r1, r2)
+        assert got.shape[0] == B
