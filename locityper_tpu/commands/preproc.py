@@ -23,8 +23,16 @@ logger = get_logger("preproc")
 
 
 def add_args(p):
-    p.add_argument("-i", "--input", nargs="+", required=True,
+    p.add_argument("-i", "--input", nargs="+", default=None,
                    help="Read files (1 = single/interleaved, 2 = paired)")
+    p.add_argument("-a", "--alignments", nargs="+", default=None,
+                   help="Coordinate-sorted indexed BAM/CRAM input(s): the "
+                        "background region is fetched via the index "
+                        "instead of scanning (preproc.rs -a; reads are "
+                        "re-scored by the internal aligner)")
+    p.add_argument("-I", "--in-list", default=None, metavar="FILE",
+                   help="File listing input read files, one per line "
+                        "(preproc.rs in_list)")
     p.add_argument("-r", "--reference", required=True, help="Reference FASTA")
     p.add_argument("-o", "--output", required=True, help="Output directory")
     p.add_argument("-b", "--bg-region", default=None,
@@ -38,6 +46,44 @@ def add_args(p):
                    help="Cap on recruited reads used for estimation (the "
                         "whole input is always scanned; depth is corrected "
                         "for the subsampling)")
+    p.add_argument("-p", "--ploidy", type=int, default=2,
+                   help="Sample ploidy for haploid depth scaling "
+                        "[%(default)s] (preproc.rs -p)")
+    p.add_argument("-w", "--window", type=int, default=None,
+                   help="Background window size (default: auto from read "
+                        "length, bg/windows.rs:104-110)")
+    p.add_argument("--boundary", type=int, default=1000,
+                   help="Ignore windows within this distance of the "
+                        "region boundary [%(default)s]")
+    p.add_argument("--kmer-perc", type=float, default=90.0,
+                   help="Minimal percentage of unique k-mers per window "
+                        "[%(default)s]")
+    p.add_argument("--frac-windows", type=float, default=0.5,
+                   help="LOESS fraction of windows used per GC bin "
+                        "[%(default)s]")
+    p.add_argument("--blur-extreme", nargs=2, default=(100, 0.02),
+                   metavar=("INT", "NUM"),
+                   help="Blur depth at extreme GC: min window count + "
+                        "variance multiplier [100 0.02] "
+                        "(bg/depth.rs:98-126)")
+    p.add_argument("--pval-thresh", nargs=2, type=float,
+                   default=(0.001, 0.01), metavar=("NUM", "NUM"),
+                   help="Insert-size and edit-distance p-value thresholds "
+                        "for estimation filtering [0.001 0.01]")
+    p.add_argument("-q", "--min-mapq", type=int, default=30,
+                   help="Minimal mapping quality of alignments used for "
+                        "estimation [%(default)s]")
+    p.add_argument("-c", "--max-clip", type=float, default=0.02,
+                   help="Ignore alignments clipped more than this "
+                        "fraction of read length [%(default)s]")
+    p.add_argument("--subsample", type=float, default=1.0,
+                   help="Subsample input reads at this rate; depth "
+                        "estimates are corrected [%(default)s]")
+    p.add_argument("--seed", type=int, default=None,
+                   help="Subsampling seed (reproducibility)")
+    p.add_argument("--file-size", action="store_true",
+                   help="With --like: rescale by file-size ratio even if "
+                        "the donor sample stores a read count")
     p.add_argument("--skip-recruitment", action="store_true",
                    help="Use the first --max-reads input reads directly "
                         "instead of recruiting to the background region "
@@ -110,7 +156,12 @@ def run_like(args) -> int:
     bg = BgDistr.load(paths.bg_dir(args.like) / paths.BG_DISTR)
     new_size = _input_size(args.input)
     new_reads = None
-    if bg.seq_info.total_reads:
+    if getattr(args, "file_size", False) and bg.seq_info.file_size:
+        # --file-size: force the file-size ratio even when a read count
+        # is stored (preproc.rs use_file_size, :585).
+        rate = new_size / bg.seq_info.file_size
+        how = f"file size ratio {new_size}/{bg.seq_info.file_size} (forced)"
+    elif bg.seq_info.total_reads:
         # Counting requires a full scan — only do it when the donor sample
         # actually stored a count (preproc.rs:1246-1263).
         new_reads, _ = _count_input(args.input)
@@ -337,9 +388,28 @@ def _fetch_bg_reads(args, genome, chrom, start, end):
     return reads1, reads2, seq[pad_lo:pad_hi]
 
 
+def _assemble_inputs(args) -> None:
+    """Merges -i / -a / -I into args.input (preproc.rs InputFiles):
+    -a files are ordinary inputs here — when indexed, the fetch path
+    picks them up; otherwise they stream like any BAM/CRAM."""
+    inputs = list(args.input or [])
+    inputs += list(getattr(args, "alignments", None) or [])
+    if getattr(args, "in_list", None):
+        listed = [l.strip() for l in open(args.in_list)
+                  if l.strip() and not l.startswith("#")]
+        if not listed:
+            raise ValueError(f"{args.in_list}: no input files listed")
+        inputs += listed
+    if not inputs:
+        raise ValueError("no input reads: provide -i/--input, "
+                         "-a/--alignments or -I/--in-list")
+    args.input = inputs
+
+
 def run(args):
     if args.describe:
         return describe(args)
+    _assemble_inputs(args)
     if args.like:
         return run_like(args)
     out = Path(args.output)
@@ -386,9 +456,36 @@ def run(args):
         reads1, reads2, region, rate, total_records = _recruit_bg_reads(
             args, genome, chrom, start, end, counter, tech)
 
+    if args.subsample < 1.0:
+        # Post-recruitment Bernoulli subsampling is statistically
+        # identical to the reference's input-stream subsampling for
+        # estimation (recruitment decisions are per-read); the rate
+        # multiplies into the depth correction (preproc.rs:697-708).
+        rng = np.random.default_rng(args.seed)
+        keep = rng.random(len(reads1)) < args.subsample
+        reads1 = [r for r, k in zip(reads1, keep) if k]
+        if reads2:
+            reads2 = [r for r, k in zip(reads2, keep) if k]
+        rate *= args.subsample
+        logger.info("Subsampled to %d reads (--subsample %.4g)",
+                    len(reads1), args.subsample)
+
+    from ..bg.depth import ReadDepthParams
+    depth_params = ReadDepthParams(
+        ploidy=args.ploidy, window_size=args.window,
+        boundary_size=args.boundary, uniq_kmer_perc=args.kmer_perc,
+        frac_windows=args.frac_windows,
+        min_tail_obs=int(args.blur_extreme[0]),
+        tail_var_mult=float(args.blur_extreme[1]))
     bg = estimate_bg_from_sim(reads1, reads2, region, counter, tech,
+                              window_size=args.window,
+                              depth_params=depth_params,
                               debug_dir=bg_dir if args.debug else None,
-                              subsampling_rate=rate)
+                              subsampling_rate=rate,
+                              insert_pval=float(args.pval_thresh[0]),
+                              edit_pval=float(args.pval_thresh[1]),
+                              max_clipping=args.max_clip,
+                              min_mapq=args.min_mapq)
     bg.seq_info.total_reads = total_records
     bg.seq_info.file_size = _input_size(args.input)
     bg.save(bg_dir / paths.BG_DISTR)

@@ -388,6 +388,69 @@ def _lookup_rows(cfg: _Cfg, h, mask, tbl_a, tbl_b):
     return found, rows
 
 
+#: Bit-sliced counter dispatch: above this locus count the per-locus
+#: reduce runs as a carry-save adder tree over whole 32-lane words
+#: (~12 word-ops per input word) instead of per-bit extraction
+#: (~5 ops per input BIT — [B, S, n_loci] intermediates).  Chip A/B in
+#: BENCH_NOTES round 4 sets the crossover.
+CSA_MIN_LOCI = 9
+
+
+def _bit_column_counts(words, n_bits: int):
+    """[N, S] uint32 -> [N, n_bits] int32: per-bit-column set-bit counts
+    over axis 1 via a bit-sliced pairwise adder tree.  All 32 lanes of a
+    word are counted in parallel: level l adds pairs of (l+1)-bit
+    bit-plane numbers with a ripple carry, halving the S axis each time,
+    so total work is ~12 word-ops per input word — independent of how
+    many bit lanes are in use (vs the naive [N, S, n_bits] extraction
+    whose work is per *bit*)."""
+    N, S = words.shape
+    Sp = 1 << max(int(S - 1).bit_length(), 0)
+    if Sp != S:
+        words = jnp.pad(words, ((0, 0), (0, Sp - S)))
+    planes = words[:, :, None]                       # 1-bit numbers
+    while planes.shape[1] > 1:
+        a = planes[:, 0::2]
+        b = planes[:, 1::2]
+        k = planes.shape[2]
+        carry = a[..., 0] & b[..., 0]
+        outs = [a[..., 0] ^ b[..., 0]]
+        for j in range(1, k):
+            aj, bj = a[..., j], b[..., j]
+            x = aj ^ bj
+            outs.append(x ^ carry)
+            carry = (aj & bj) | (carry & x)
+        outs.append(carry)
+        planes = jnp.stack(outs, axis=-1)            # [N, n/2, k+1]
+    planes = planes[:, 0]                            # [N, K] bit planes
+    bits = jnp.arange(n_bits, dtype=jnp.uint32)
+    ext = ((planes[:, :, None] >> bits) & jnp.uint32(1)).astype(jnp.int32)
+    w = jnp.int32(1) << jnp.arange(planes.shape[1], dtype=jnp.int32)
+    return jnp.sum(ext * w[None, :, None], axis=1)
+
+
+def _counters_csa(cfg: _Cfg, found, tbl, is_fw):
+    """[B, n_loci, 4] counters via ONE adder tree over all 4·G word
+    streams (bw_c, fw_c, bw_r, fw_r per 32-locus group)."""
+    B, S = found.shape
+    G = cfg.n_groups
+    streams = []
+    for g in range(G):
+        fmask = jnp.where(found, tbl[..., 1 + g], 0)
+        bmask = jnp.where(found, tbl[..., 1 + G + g], 0)
+        rmask = tbl[..., 1 + 2 * G + g]
+        m_fwdir = jnp.where(is_fw, fmask, bmask)
+        m_bwdir = jnp.where(is_fw, bmask, fmask)
+        streams += [m_bwdir & ~rmask, m_fwdir & ~rmask,
+                    m_bwdir & rmask, m_fwdir & rmask]
+    words = jnp.stack(streams, 0).reshape(4 * G * B, S)
+    cnt = _bit_column_counts(words, 32).reshape(4 * G, B, 32)
+    per_group = [jnp.stack([cnt[4 * g + j][:, :min(32, cfg.n_loci - 32 * g)]
+                            for j in range(4)], axis=-1)
+                 for g in range(G)]
+    return jnp.concatenate(per_group, axis=1).astype(jnp.int32)
+
+
 def _mate_counters(reads, cfg: _Cfg, tbl_a, tbl_b):
     """Per-locus counters [B, n_loci, 4] = [bw_c, fw_c, bw_r, fw_r] and the
     minimizer totals [B] — via bitmap extraction, no scatters.
@@ -412,6 +475,9 @@ def _mate_counters(reads, cfg: _Cfg, tbl_a, tbl_b):
 
     G = cfg.n_groups
     found, tbl = _lookup_rows(cfg, h, mask, tbl_a, tbl_b)
+
+    if cfg.n_loci >= CSA_MIN_LOCI:
+        return _counters_csa(cfg, found, tbl, is_fw), total
 
     per_group = []
     for g in range(G):

@@ -320,10 +320,26 @@ def _write_read_pairs_csv(out_dir, contig_set, all_alns) -> None:
 def estimate_bg_from_sim(reads1, reads2, region_seq, region_counter,
                          technology, window_size=None,
                          depth_params=None, seed=0,
-                         debug_dir=None, subsampling_rate: float = 1.0) -> BgDistr:
+                         debug_dir=None, subsampling_rate: float = 1.0,
+                         insert_pval: float = 0.001,
+                         edit_pval: float = 0.01,
+                         max_clipping: float = 0.02,
+                         min_mapq: int = 0) -> BgDistr:
     """Estimates all background distributions by aligning reads to a single
     background region (counterpart of preproc estimate_bg_distrs,
-    command/preproc.rs:1076-1165)."""
+    command/preproc.rs:1076-1165).
+
+    Filtering parity with the reference:
+    - alignments clipped more than `max_clipping`·len are dropped
+      (preproc.rs:268-269, 303);
+    - `min_mapq` drops ambiguous placements; with the internal aligner
+      MAPQ is derived from the best-vs-second-best ln-prob gap
+      (~4.343·Δln, the usual Phred mapping) — the reference gets the
+      equivalent number from strobealign/minimap2 (preproc.rs:547);
+    - the error profile uses only pairs whose insert size lies in the
+      (1-insert_pval) confidence interval (preproc.rs:1087-1102);
+    - depth counting uses only reads whose edit distance passes the
+      (1-edit_pval) BetaBinomial quantile (preproc.rs:1106-1122)."""
     from .bg import SequencingInfo
     from .bg.depth import ReadDepth, ReadDepthParams, auto_window_size
     from .bg.insertsz import InsertDistr
@@ -358,31 +374,32 @@ def estimate_bg_from_sim(reads1, reads2, region_seq, region_counter,
     aln_lists = _align_candidates(mates, jobs, cset, score_vec,
                                   48).to_lists(len(mates))
 
-    # Pick the best alignment per mate.
-    best = [max(a, key=lambda x: x.ln_prob) if a else None for a in aln_lists]
+    # Pick the best alignment per mate; drop over-clipped or ambiguous
+    # placements (preproc.rs max_clipping / min_mapq — see docstring).
     rlens = np.array([m.size for m in mates])
-
-    # Error profile from exact op counts of the best alignments
-    # (bg/err_prof.rs:152-199).
-    n_match = n_mism = n_ins = n_del = 0
-    triples = {}
-    ends_ix = list(mate_end)
-    for b, L in zip(best, rlens):
-        if b is None:
+    best = []
+    for a, L in zip(aln_lists, rlens):
+        if not a:
+            best.append(None)
             continue
-        matches = int(L) - b.n_mism - b.n_ins - b.n_clip
-        n_match += matches
-        n_mism += b.n_mism
-        n_ins += b.n_ins
-        n_del += b.n_del
-        key = (b.edit, int(L))
-        triples[key] = triples.get(key, 0) + 1
-    err_prof = ErrorProfile.estimate(
-        max(n_match, 1), max(n_mism, 1), max(n_ins, 1), max(n_del, 1),
-        [(e, n, float(c)) for (e, n), c in triples.items()])
+        srt = sorted(a, key=lambda x: x.ln_prob, reverse=True)
+        b = srt[0]
+        if b.n_clip > max_clipping * int(L):
+            best.append(None)
+            continue
+        if min_mapq > 0 and len(srt) > 1:
+            mapq = 4.342945 * (srt[0].ln_prob - srt[1].ln_prob)
+            if mapq < min_mapq:
+                best.append(None)
+                continue
+        best.append(b)
+    ends_ix = list(mate_end)
 
-    # Insert sizes from best mate alignments.
+    # Insert sizes from best mate alignments (estimated FIRST: the error
+    # profile is restricted to pairs inside the insert confidence
+    # interval, preproc.rs:1085-1102).
     insert_distr = InsertDistr.undefined()
+    insert_ok = [True] * len(reads1)
     if reads2:
         sizes = []
         same_o = opp_o = 0
@@ -396,6 +413,60 @@ def estimate_bg_from_sim(reads1, reads2, region_seq, region_counter,
             else:
                 opp_o += 1
         insert_distr = InsertDistr.estimate(np.array(sizes), same_o, opp_o)
+        lo, hi = insert_distr.confidence_interval(1.0 - insert_pval)
+        for i in range(len(reads1)):
+            b1, b2 = best[2 * i], best[2 * i + 1]
+            if b1 is None or b2 is None:
+                continue
+            ins = max(b1.end, b2.end) - min(b1.start, b2.start)
+            insert_ok[i] = lo <= ins <= hi
+
+    def _mate_ok(j):
+        return insert_ok[mate_read[j]] if reads2 else True
+
+    # Error profile from exact op counts of the best alignments
+    # (bg/err_prof.rs:152-199), insert-filtered when paired.
+    n_match = n_mism = n_ins = n_del = 0
+    triples = {}
+    for j, (b, L) in enumerate(zip(best, rlens)):
+        if b is None or not _mate_ok(j):
+            continue
+        matches = int(L) - b.n_mism - b.n_ins - b.n_clip
+        n_match += matches
+        n_mism += b.n_mism
+        n_ins += b.n_ins
+        n_del += b.n_del
+        key = (b.edit, int(L))
+        triples[key] = triples.get(key, 0) + 1
+    err_prof = ErrorProfile.estimate(
+        max(n_match, 1), max(n_mism, 1), max(n_ins, 1), max(n_del, 1),
+        [(e, n, float(c)) for (e, n), c in triples.items()])
+
+    # Depth counting below uses only reads whose edit distance passes the
+    # (1-edit_pval) quantile for their length (SingleEditDistCache,
+    # err_prof.rs:333-361); for pairs BOTH mates must pass
+    # (preproc.rs:1110-1122).
+    _edit_cache: dict = {}
+
+    def _edit_ok(j):
+        b = best[j]
+        if b is None:
+            return False
+        L = int(rlens[j])
+        t = _edit_cache.get(L)
+        if t is None:
+            t = err_prof.edit_distr.inv_cdf(L, 1.0 - edit_pval)
+            _edit_cache[L] = t
+        return b.edit <= t
+
+    depth_ok = []
+    for j in range(len(mates)):
+        if reads2:
+            i = mate_read[j]
+            depth_ok.append(_mate_ok(j) and _edit_ok(2 * i)
+                            and _edit_ok(2 * i + 1))
+        else:
+            depth_ok.append(_edit_ok(j))
 
     # Window depth.
     win = BgWindows.create(region_seq, 0, region_counter.seq_counts(region_seq),
@@ -403,8 +474,8 @@ def estimate_bg_from_sim(reads1, reads2, region_seq, region_counter,
                            depth_params.boundary_size,
                            0.01 * depth_params.uniq_kmer_perc)
     middles = []
-    for b, me in zip(best, ends_ix):
-        if b is not None and me == 0:
+    for j, (b, me) in enumerate(zip(best, ends_ix)):
+        if b is not None and me == 0 and depth_ok[j]:
             middles.append((b.start + b.end) // 2)
     middles = np.array(middles, np.int64)
     w = (middles - win.region_start) // wsize

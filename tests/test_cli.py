@@ -593,3 +593,62 @@ def test_stop_after_map_writes_bam(world, db, prep, tmp_path):
         assert br.name == sl[0] and br.flag == int(sl[1])
         cig = "".join(f"{l}{o}" for o, l in br.cigar) if br.cigar else "*"
         assert cig == sl[5]
+
+
+class TestPreprocFlags:
+    """Round-4 flag parity: -p/--ploidy, --subsample/--seed, --pval-thresh,
+    -I in-lists and --file-size --like (preproc.rs:431-585)."""
+
+    def test_ploidy_scales_haploid_depth(self, world, prep, tmp_path):
+        from locityper_tpu.bg import BgDistr
+        out = tmp_path / "p4"
+        rc = cli.main(["preproc", "-i", str(world["r1"]), str(world["r2"]),
+                       "-r", str(world["ref_fa"]), "-o", str(out),
+                       "-b", "chr1:10000-110000", "--max-reads", "8000",
+                       "--ploidy", "4"])
+        assert rc == 0
+        bg2 = BgDistr.load(out / "bg" / "distr.json.gz")
+        bg1 = BgDistr.load(prep / "bg" / "distr.json.gz")
+        # Same data, double the assumed ploidy -> half the haploid depth.
+        r = bg2.depth.depth_distribution(45).mean() \
+            / bg1.depth.depth_distribution(45).mean()
+        assert r == pytest.approx(0.5, rel=0.05)
+
+    def test_subsample_corrected_depth(self, world, prep, tmp_path):
+        from locityper_tpu.bg import BgDistr
+        out = tmp_path / "sub"
+        rc = cli.main(["preproc", "-i", str(world["r1"]), str(world["r2"]),
+                       "-r", str(world["ref_fa"]), "-o", str(out),
+                       "-b", "chr1:10000-110000", "--max-reads", "8000",
+                       "--subsample", "0.5", "--seed", "7"])
+        assert rc == 0
+        bg2 = BgDistr.load(out / "bg" / "distr.json.gz")
+        bg1 = BgDistr.load(prep / "bg" / "distr.json.gz")
+        # Depth must be subsampling-corrected back to the full rate.
+        r = bg2.depth.depth_distribution(45).mean() \
+            / bg1.depth.depth_distribution(45).mean()
+        assert r == pytest.approx(1.0, rel=0.25)
+
+    def test_in_list_inputs(self, world, tmp_path):
+        lst = tmp_path / "inputs.txt"
+        lst.write_text(f"{world['r1']}\n{world['r2']}\n")
+        out = tmp_path / "fromlist"
+        rc = cli.main(["preproc", "-I", str(lst),
+                       "-r", str(world["ref_fa"]), "-o", str(out),
+                       "-b", "chr1:10000-110000", "--max-reads", "4000"])
+        assert rc == 0
+        assert (out / "bg" / "distr.json.gz").exists()
+
+    def test_like_file_size_forced(self, world, prep, tmp_path):
+        from locityper_tpu.bg import BgDistr
+        out = tmp_path / "likefs"
+        rc = cli.main(["preproc", "-i", str(world["r1"]), str(world["r2"]),
+                       "-r", str(world["ref_fa"]), "-o", str(out),
+                       "--like", str(prep), "--file-size"])
+        assert rc == 0
+        bg2 = BgDistr.load(out / "bg" / "distr.json.gz")
+        bg1 = BgDistr.load(prep / "bg" / "distr.json.gz")
+        # Same files -> ratio 1.0 regardless of which measure was used.
+        r = bg2.depth.depth_distribution(45).mean() \
+            / bg1.depth.depth_distribution(45).mean()
+        assert r == pytest.approx(1.0, rel=1e-6)

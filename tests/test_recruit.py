@@ -454,3 +454,70 @@ class TestHashLookup:
             r2[i, :min(b.size, L)] = b[:L]
         got = R.run_pairs(dev, r1, r2)
         assert got.shape[0] == B
+
+
+class TestCsaCounters:
+    """The bit-sliced CSA counter reduce (round 4) must be bit-identical
+    to the naive per-bit extraction across the locus-count dispatch."""
+
+    @pytest.fixture(scope="class")
+    def many_loci(self):
+        from locityper_tpu.seq.contigs import ContigSet
+        from locityper_tpu.seq.counts import KmerCounts
+        rng = np.random.default_rng(17)
+        p = RecruitParams(match_frac=0.5)
+        idx = TargetIndex(p)
+        loci = []
+        for i in range(40):                      # 2 bitmap groups
+            locus = sim.simulate_locus(rng, f"L{i}", length=1500, n_haps=2,
+                                       divergence=0.02)
+            kc = KmerCounts(p.minimizer_k, [
+                np.zeros(max(h.size - p.minimizer_k + 1, 0), np.uint16)
+                for h in locus.haplotypes])
+            idx.add_locus(ContigSet(f"L{i}", locus.hap_names,
+                                    locus.haplotypes), kc)
+            loci.append(locus)
+        idx.finalize()
+        return rng, loci, idx, p
+
+    def test_bit_column_counts_exact(self):
+        import jax.numpy as jnp
+        from locityper_tpu.ops.recruit import _bit_column_counts
+        rng = np.random.default_rng(3)
+        for N, S in [(4, 1), (8, 5), (16, 80), (8, 128), (4, 100)]:
+            w = rng.integers(0, 2 ** 32, size=(N, S), dtype=np.uint32)
+            got = np.asarray(_bit_column_counts(jnp.asarray(w), 32))
+            bits = np.arange(32, dtype=np.uint32)
+            want = ((w[:, :, None] >> bits[None, None]) & 1).sum(1)
+            np.testing.assert_array_equal(got, want.astype(np.int32))
+
+    def test_decisions_identical_across_dispatch(self, many_loci,
+                                                 monkeypatch):
+        import jax
+        from locityper_tpu.ops import recruit as R
+        rng, loci, idx, p = many_loci
+        dev = R.DeviceIndex.from_index(idx)
+        assert dev.n_loci >= R.CSA_MIN_LOCI      # default path IS csa here
+        B, L = 48, 192
+        m1 = np.full((B, L), 4, np.int8)
+        m2 = np.full((B, L), 4, np.int8)
+        for i in range(B):
+            h = loci[i % len(loci)].haplotypes[i % 2]
+            s = int(rng.integers(0, h.size - 310))
+            m1[i, :150] = h[s:s + 150]
+            w = h[s + 100:s + 250]
+            m2[i, :w.size] = (3 - w)[::-1]
+        ml = np.full((8, 1024), 4, np.int8)
+        for i in range(8):
+            ml[i] = np.resize(loci[i].haplotypes[0], 1024)
+        monkeypatch.setattr(R, "CSA_MIN_LOCI", 10 ** 9)
+        jax.clear_caches()
+        old = (R.run_pairs(dev, m1, m2), R.run_short(dev, m1),
+               R.run_long(dev, ml, p.stretch_minims, p.stretch_score))
+        monkeypatch.setattr(R, "CSA_MIN_LOCI", 1)
+        jax.clear_caches()
+        new = (R.run_pairs(dev, m1, m2), R.run_short(dev, m1),
+               R.run_long(dev, ml, p.stretch_minims, p.stretch_score))
+        for a, b in zip(old, new):
+            np.testing.assert_array_equal(a, b)
+        assert old[0].any()
