@@ -76,31 +76,47 @@ def mk(loci):
     return m1, m2
 
 
-def timed(dev, m1, m2, iters=8):
-    out = np.asarray(R.run_pairs(dev, m1, m2))        # compile + warm
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = np.asarray(R.run_pairs(dev, m1, m2))
-    dt = (time.perf_counter() - t0) / iters
-    return dt, out
+import functools
 
 
 for n_loci in (4, 16, 64):
     idx, loci = build(n_loci)
     dev = R.DeviceIndex.from_index(idx)
     m1, m2 = mk(loci)
+    cfg = dev.cfg
+    d1, d2 = jax.device_put(m1), jax.device_put(m2)
+    ta, tb = dev.device_args()
+
+    # Two independent jit objects so both variants stay cached at once:
+    # CSA_MIN_LOCI is read at TRACE time, so set it, trace (first call),
+    # then restore.  Interleaved timing (A/B/A/B per round) cancels the
+    # chip's 2-5x run-to-run variance, which a time-A-then-time-B layout
+    # cannot (the first version of this script produced non-monotonic
+    # garbage that way).
+    body = R.recruit_pairs_batch.__wrapped__
+    fns = {}
     results = {}
     for name, thresh in (("naive", 10 ** 9), ("csa", 1)):
         R.CSA_MIN_LOCI = thresh
-        jax.clear_caches()
-        dt, out = timed(dev, m1, m2)
-        results[name] = out
-        print(json.dumps(dict(
-            stage="pairs_kernel", path=name, n_loci=n_loci,
-            keys=int(dev.keys.size), lookup=dev.cfg.lookup, B=B,
-            ms=round(1e3 * dt, 1),
-            pairs_per_s=round(B / dt))), flush=True)
+        f = jax.jit(functools.partial(body, cfg))
+        results[name] = np.asarray(f(d1, d2, ta, tb))   # trace + warm
+        fns[name] = f
     same = bool(np.array_equal(results["naive"], results["csa"]))
     print(json.dumps(dict(stage="parity", n_loci=n_loci, identical=same)),
           flush=True)
     assert same, "CSA decisions differ from naive!"
+
+    times = {"naive": [], "csa": []}
+    for _round in range(12):
+        for name, f in fns.items():
+            t0 = time.perf_counter()
+            np.asarray(f(d1, d2, ta, tb))
+            times[name].append(time.perf_counter() - t0)
+    for name, ts in times.items():
+        best = min(ts)
+        med = sorted(ts)[len(ts) // 2]
+        print(json.dumps(dict(
+            stage="pairs_kernel", path=name, n_loci=n_loci,
+            keys=int(dev.keys.size), lookup=cfg.lookup, B=B,
+            ms_best=round(1e3 * best, 1), ms_med=round(1e3 * med, 1),
+            pairs_per_s=round(B / best))), flush=True)

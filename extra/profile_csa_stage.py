@@ -60,7 +60,14 @@ for n_loci in (4, 32, 64, 128):
     out_n = np.asarray(f_naive(found, tbl, is_fw))
     out_c = np.asarray(f_csa(found, tbl, is_fw))
     assert np.array_equal(out_n, out_c), f"mismatch at n_loci={n_loci}"
-    for name, fn in (("naive", f_naive), ("csa", f_csa)):
+    # Time via a tiny checksum output: fetching the full [B, n_loci, 4]
+    # counts costs up to seconds of D2H over the relay (67 MB at 128
+    # loci) and swamps the compute difference.
+    f_naive_ck = jax.jit(
+        lambda f, t, i, c=cfg: naive(c, f, t, i).sum(axis=(0, 1)))
+    f_csa_ck = jax.jit(
+        lambda f, t, i, c=cfg: R._counters_csa(c, f, t, i).sum(axis=(0, 1)))
+    for name, fn in (("naive", f_naive_ck), ("csa", f_csa_ck)):
         np.asarray(fn(found, tbl, is_fw))
         t0 = time.perf_counter()
         for _ in range(16):

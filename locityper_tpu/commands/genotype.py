@@ -551,7 +551,11 @@ def _recruit_fast_pass(order, loci, dev, path1, path2, subsample, seed,
             Bb = max(1 << max(count - 1, 1).bit_length(), 1024)
         pending.append((names, m1, l1, m2, l2, count, keep,
                         dispatch(m1[:Bb], m2[:Bb])))
-        while len(pending) > 1:
+        # Pipeline depth 3: with the fused kernel at ~64 ms/batch the
+        # D2H fetch + H2D upload legs no longer hide inside compute at
+        # depth 1 (chip probe, BENCH_NOTES round 4: depth 1 is 110-236
+        # ms/batch, depth 3 is ~98-111).
+        while len(pending) > 3:
             scatter_first_aware(pending.pop(0))
     while pending:
         scatter_first_aware(pending.pop(0))

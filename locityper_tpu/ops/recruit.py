@@ -268,6 +268,51 @@ def _minimizer_mask(h, w: int):
     return (a + b >= w - 1) & (h != UNDEF32)
 
 
+def _hash_mask_body(block, k: int, w: int, TB: int, L: int, P: int):
+    """Traced Mosaic body shared by the front-end kernels: [TB, L] read
+    codes -> (hs signed-view [TB, L] int32 with BIG_S32 beyond P or on
+    invalid k-mers, is_fw [TB, L] bool, minimizer mask [TB, L] bool).
+    See _hash_mask_pallas for the Mosaic constraints that shape it."""
+    srl = jax.lax.shift_right_logical
+    codes = block.astype(jnp.int32)
+    fw = jnp.zeros((TB, L), jnp.int32)
+    rv = jnp.zeros((TB, L), jnp.int32)
+    nbad = jnp.zeros((TB, L), jnp.int32)
+    for j in range(k):
+        raw = codes if j == 0 else jnp.roll(codes, -j, axis=1)
+        bad = (raw >= 4).astype(jnp.int32)
+        cj = jnp.where(bad > 0, 0, raw)
+        fw = fw | (cj << (2 * (k - 1 - j)))
+        rv = rv | ((3 - cj) << (2 * j))
+        nbad = nbad + bad
+    ok = nbad == 0
+    is_fw = fw <= rv                       # 30-bit values: signed-safe
+    kmer = jnp.where(is_fw, fw, rv)
+    x = ~kmer
+    x = x ^ srl(x, 16)
+    x = x * jnp.int32(np.uint32(0x85EBCA6B).view(np.int32))
+    x = x ^ srl(x, 13)
+    hs = x ^ jnp.int32(np.uint32(SIGN_BIT).view(np.int32))
+    bigs = jnp.int32(0x7FFFFFFF)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (TB, L), 1)
+    hs = jnp.where(ok & (iota < P), hs, bigs)
+    a = jnp.zeros((TB, L), jnp.int32)
+    b = jnp.zeros((TB, L), jnp.int32)
+    lmin = None
+    rmin = None
+    for i in range(1, w):
+        sh_l = jnp.where(iota < i, bigs, jnp.roll(hs, i, axis=1))
+        lmin = sh_l if lmin is None else jnp.minimum(lmin, sh_l)
+        a = a + (lmin > hs)
+        sh_r = jnp.where(iota >= P - i, bigs, jnp.roll(hs, -i, axis=1))
+        rmin = sh_r if rmin is None else jnp.minimum(rmin, sh_r)
+        b = b + (rmin >= hs)
+    a = jnp.minimum(a, iota)
+    b = jnp.minimum(b, P - 1 - iota)
+    mask = (a + b >= w - 1) & (hs != bigs)
+    return hs, is_fw, mask
+
+
 def _hash_mask_pallas(reads, k: int, w: int):
     """Fused hash+minimizer-mask Pallas kernel: the whole per-read front
     end (canonical k-mers, murmur mix, scatter-free minimizer mask) runs
@@ -294,43 +339,8 @@ def _hash_mask_pallas(reads, k: int, w: int):
                          "(30-bit k-mers in int32)")
 
     def kern(reads_ref, h_ref, fwd_ref, mask_ref):
-        srl = jax.lax.shift_right_logical
-        codes = reads_ref[...].astype(jnp.int32)
-        fw = jnp.zeros((TB, L), jnp.int32)
-        rv = jnp.zeros((TB, L), jnp.int32)
-        nbad = jnp.zeros((TB, L), jnp.int32)
-        for j in range(k):
-            raw = codes if j == 0 else jnp.roll(codes, -j, axis=1)
-            bad = (raw >= 4).astype(jnp.int32)
-            cj = jnp.where(bad > 0, 0, raw)
-            fw = fw | (cj << (2 * (k - 1 - j)))
-            rv = rv | ((3 - cj) << (2 * j))
-            nbad = nbad + bad
-        ok = nbad == 0
-        is_fw = fw <= rv                       # 30-bit values: signed-safe
-        kmer = jnp.where(is_fw, fw, rv)
-        x = ~kmer
-        x = x ^ srl(x, 16)
-        x = x * jnp.int32(np.uint32(0x85EBCA6B).view(np.int32))
-        x = x ^ srl(x, 13)
-        hs = x ^ jnp.int32(np.uint32(SIGN_BIT).view(np.int32))
-        bigs = jnp.int32(0x7FFFFFFF)
-        iota = jax.lax.broadcasted_iota(jnp.int32, (TB, L), 1)
-        hs = jnp.where(ok & (iota < P), hs, bigs)
-        a = jnp.zeros((TB, L), jnp.int32)
-        b = jnp.zeros((TB, L), jnp.int32)
-        lmin = None
-        rmin = None
-        for i in range(1, w):
-            sh_l = jnp.where(iota < i, bigs, jnp.roll(hs, i, axis=1))
-            lmin = sh_l if lmin is None else jnp.minimum(lmin, sh_l)
-            a = a + (lmin > hs)
-            sh_r = jnp.where(iota >= P - i, bigs, jnp.roll(hs, -i, axis=1))
-            rmin = sh_r if rmin is None else jnp.minimum(rmin, sh_r)
-            b = b + (rmin >= hs)
-        a = jnp.minimum(a, iota)
-        b = jnp.minimum(b, P - 1 - iota)
-        mask_ref[...] = (a + b >= w - 1) & (hs != bigs)
+        hs, is_fw, mask = _hash_mask_body(reads_ref[...], k, w, TB, L, P)
+        mask_ref[...] = mask
         h_ref[...] = hs
         fwd_ref[...] = is_fw
 
@@ -343,6 +353,82 @@ def _hash_mask_pallas(reads, k: int, w: int):
                    jax.ShapeDtypeStruct((B, L), jnp.bool_)],
     )(reads)
     return hs[:, :P], is_fw[:, :P], mask[:, :P]
+
+
+def _front_compact_pallas(reads, k: int, w: int, S: int):
+    """Fused front end + stream compaction: (h_c [B, S], is_fw_c [B, S],
+    mask_c [B, S], total [B]) with the first S minimizer positions of
+    each read packed to the front in position order.
+
+    Replaces the XLA argsort compaction, which an honest interleaved
+    chip profile measured at ~110 ms / 32k reads — 60% of the whole
+    kernel (BENCH_NOTES round 4; the earlier 0.04 ms figure was a
+    measurement artifact).  Here compaction is a per-column masked
+    reduce entirely in VMEM: rank = prefix-sum of the minimizer mask
+    (log-tree of full-width rolls), then column s of the output is the
+    lane-reduction of (rank == s+1) · value — no sort, no gather, no
+    scatter, Mosaic-safe (see _hash_mask_pallas).
+
+    Truncation semantics are identical to the argsort path: the FIRST S
+    minimizers in position order survive (both keep stable position
+    order, so the kept set matches bit-for-bit)."""
+    from jax.experimental import pallas as pl
+
+    B, L = reads.shape
+    P = L - k + 1
+    TB = _HASH_TB
+    if 2 * k > 30:
+        raise ValueError("pallas hash kernel requires k <= 15 "
+                         "(30-bit k-mers in int32)")
+
+    def kern(reads_ref, h_ref, fwd_ref, mask_ref, tot_ref):
+        hs, is_fw, mask = _hash_mask_body(reads_ref[...], k, w, TB, L, P)
+        m = mask.astype(jnp.int32)
+        tot_ref[...] = jnp.sum(m, axis=1, keepdims=True)
+        # Inclusive prefix sum of the mask along lanes: masked position
+        # with rank r is the (r-1)-th minimizer of the read.
+        iota = jax.lax.broadcasted_iota(jnp.int32, (TB, L), 1)
+        rank = m
+        d = 1
+        while d < L:
+            rank = rank + jnp.where(iota >= d, jnp.roll(rank, d, axis=1), 0)
+            d *= 2
+        iota_s = jax.lax.broadcasted_iota(jnp.int32, (TB, S), 1)
+        fw_i = is_fw.astype(jnp.int32)
+
+        # fori_loop (not an unrolled python loop): S unrolled iterations
+        # blow the Mosaic scoped-VMEM stack past 16 MB at TB=256.
+        def body(s, carry):
+            h_c, f_c, m_c = carry
+            sel = mask & (rank == s + 1)
+            seli = sel.astype(jnp.int32)
+            one = (iota_s == s)
+            h_col = jnp.sum(jnp.where(sel, hs, 0), axis=1, keepdims=True)
+            f_col = jnp.sum(seli * fw_i, axis=1, keepdims=True)
+            m_col = jnp.sum(seli, axis=1, keepdims=True)
+            return (h_c + h_col * one, f_c + f_col * one, m_c + m_col * one)
+
+        zero_s = jnp.zeros((TB, S), jnp.int32)
+        h_c, f_c, m_c = jax.lax.fori_loop(
+            0, S, body, (zero_s, zero_s, zero_s))
+        # Empty columns keep h = 0; give them the UNDEF sentinel so the
+        # lookup behaves exactly like the argsort path's padding.
+        bigs = jnp.int32(0x7FFFFFFF)
+        h_ref[...] = jnp.where(m_c != 0, h_c, bigs)
+        fwd_ref[...] = f_c != 0
+        mask_ref[...] = m_c != 0
+
+    h_c, f_c, m_c, tot = pl.pallas_call(
+        kern, grid=(B // TB,),
+        in_specs=[pl.BlockSpec((TB, L), lambda i: (i, 0))],
+        out_specs=[pl.BlockSpec((TB, S), lambda i: (i, 0))] * 3
+        + [pl.BlockSpec((TB, 1), lambda i: (i, 0))],
+        out_shape=[jax.ShapeDtypeStruct((B, S), jnp.int32),
+                   jax.ShapeDtypeStruct((B, S), jnp.bool_),
+                   jax.ShapeDtypeStruct((B, S), jnp.bool_),
+                   jax.ShapeDtypeStruct((B, 1), jnp.int32)],
+    )(reads)
+    return h_c, f_c, m_c, tot[:, 0]
 
 
 def _hash_mask(reads, k: int, w: int):
@@ -388,67 +474,81 @@ def _lookup_rows(cfg: _Cfg, h, mask, tbl_a, tbl_b):
     return found, rows
 
 
-#: Bit-sliced counter dispatch: above this locus count the per-locus
-#: reduce runs as a carry-save adder tree over whole 32-lane words
-#: (~12 word-ops per input word) instead of per-bit extraction
-#: (~5 ops per input BIT — [B, S, n_loci] intermediates).  Chip A/B in
-#: BENCH_NOTES round 4 sets the crossover.
-CSA_MIN_LOCI = 9
+_RED_TB = 256                   # pallas counter-reduce batch tile
 
 
-def _bit_column_counts(words, n_bits: int):
-    """[N, S] uint32 -> [N, n_bits] int32: per-bit-column set-bit counts
-    over axis 1 via a bit-sliced pairwise adder tree.  All 32 lanes of a
-    word are counted in parallel: level l adds pairs of (l+1)-bit
-    bit-plane numbers with a ripple carry, halving the S axis each time,
-    so total work is ~12 word-ops per input word — independent of how
-    many bit lanes are in use (vs the naive [N, S, n_bits] extraction
-    whose work is per *bit*)."""
-    N, S = words.shape
-    Sp = 1 << max(int(S - 1).bit_length(), 0)
-    if Sp != S:
-        words = jnp.pad(words, ((0, 0), (0, Sp - S)))
-    planes = words[:, :, None]                       # 1-bit numbers
-    while planes.shape[1] > 1:
-        a = planes[:, 0::2]
-        b = planes[:, 1::2]
-        k = planes.shape[2]
-        carry = a[..., 0] & b[..., 0]
-        outs = [a[..., 0] ^ b[..., 0]]
-        for j in range(1, k):
-            aj, bj = a[..., j], b[..., j]
-            x = aj ^ bj
-            outs.append(x ^ carry)
-            carry = (aj & bj) | (carry & x)
-        outs.append(carry)
-        planes = jnp.stack(outs, axis=-1)            # [N, n/2, k+1]
-    planes = planes[:, 0]                            # [N, K] bit planes
-    bits = jnp.arange(n_bits, dtype=jnp.uint32)
-    ext = ((planes[:, :, None] >> bits) & jnp.uint32(1)).astype(jnp.int32)
-    w = jnp.int32(1) << jnp.arange(planes.shape[1], dtype=jnp.int32)
-    return jnp.sum(ext * w[None, :, None], axis=1)
+def _counters_pallas(cfg: _Cfg, found, tbl, is_fw):
+    """[B, n_loci, 4] counters via a VMEM-resident Pallas reduce.
 
+    Both XLA formulations of the per-locus counter reduce stream large
+    intermediates through HBM (the naive path materializes/fuses over a
+    [B, S, n_loci] hit tensor, the bit-sliced CSA tree materializes every
+    adder level), which makes the reduce the kernel ceiling at high locus
+    counts (BENCH_NOTES round 3/4).  Here each [TB, S] block stays VMEM-
+    resident and the per-bit loop runs at register speed; work scales
+    with n_loci exactly (the partial last group loops its live bits only).
 
-def _counters_csa(cfg: _Cfg, found, tbl, is_fw):
-    """[B, n_loci, 4] counters via ONE adder tree over all 4·G word
-    streams (bw_c, fw_c, bw_r, fw_r per 32-locus group)."""
+    Mosaic constraints (see _hash_mask_pallas): int32 arithmetic with
+    LOGICAL scalar shifts only; no vector-shift bit extraction — the
+    per-locus column is placed with an iota==l one-hot multiply; no
+    jnp.roll, no lane slicing; the packed rows arrive pre-transposed to
+    [3G, B, S] so the word-type index is a major-axis (not lane) index.
+    """
+    from jax.experimental import pallas as pl
+
     B, S = found.shape
     G = cfg.n_groups
-    streams = []
-    for g in range(G):
-        fmask = jnp.where(found, tbl[..., 1 + g], 0)
-        bmask = jnp.where(found, tbl[..., 1 + G + g], 0)
-        rmask = tbl[..., 1 + 2 * G + g]
-        m_fwdir = jnp.where(is_fw, fmask, bmask)
-        m_bwdir = jnp.where(is_fw, bmask, fmask)
-        streams += [m_bwdir & ~rmask, m_fwdir & ~rmask,
-                    m_bwdir & rmask, m_fwdir & rmask]
-    words = jnp.stack(streams, 0).reshape(4 * G * B, S)
-    cnt = _bit_column_counts(words, 32).reshape(4 * G, B, 32)
-    per_group = [jnp.stack([cnt[4 * g + j][:, :min(32, cfg.n_loci - 32 * g)]
-                            for j in range(4)], axis=-1)
-                 for g in range(G)]
-    return jnp.concatenate(per_group, axis=1).astype(jnp.int32)
+    TB = _RED_TB
+
+    def kern(found_ref, isfw_ref, tblT_ref, out_ref):
+        srl = jax.lax.shift_right_logical
+        found_b = found_ref[...]
+        isfw_b = isfw_ref[...]
+        iota32 = jax.lax.broadcasted_iota(jnp.int32, (TB, 32), 1)
+        zero = jnp.zeros((TB, S), jnp.int32)
+        groups = []
+        for g in range(G):
+            fm = jnp.where(found_b, tblT_ref[g], zero)
+            bm = jnp.where(found_b, tblT_ref[G + g], zero)
+            rm = tblT_ref[2 * G + g]
+            m_fw = jnp.where(isfw_b, fm, bm)
+            m_bw = jnp.where(isfw_b, bm, fm)
+            n_here = min(32, cfg.n_loci - 32 * g)
+            streams = (m_bw & ~rm, m_fw & ~rm, m_bw & rm, m_fw & rm)
+            cols = []
+            for w0 in streams:
+                counts = jnp.zeros((TB, 32), jnp.int32)
+                w = w0
+                for l in range(n_here):
+                    hit = w & 1
+                    c = jnp.sum(hit, axis=1, keepdims=True)   # [TB, 1]
+                    counts = counts + c * (iota32 == l)
+                    if l + 1 < n_here:
+                        w = srl(w, 1)
+                cols.append(counts)
+            groups.append(jnp.stack(cols, axis=1))            # [TB, 4, 32]
+        out_ref[...] = jnp.concatenate(groups, axis=2)        # [TB, 4, 32G]
+
+    # Packed rows without the key word, word-type as the MAJOR axis.
+    tblT = jax.lax.bitcast_convert_type(
+        jnp.moveaxis(tbl[..., 1:], -1, 0), jnp.int32)
+    out = pl.pallas_call(
+        kern, grid=(B // TB,),
+        in_specs=[pl.BlockSpec((TB, S), lambda i: (i, 0)),
+                  pl.BlockSpec((TB, S), lambda i: (i, 0)),
+                  pl.BlockSpec((3 * G, TB, S), lambda i: (0, i, 0))],
+        out_specs=pl.BlockSpec((TB, 4, 32 * G), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, 4, 32 * G), jnp.int32),
+    )(found, is_fw, tblT)
+    return jnp.moveaxis(out, 1, 2)[:, :cfg.n_loci, :]
+
+
+def _use_pallas_counters(B: int, n_loci: int) -> bool:
+    """TPU default for every locus count: neutral at 4 loci (173.6 vs
+    175.3 ms interleaved A/B), wins as n_loci grows (the naive XLA
+    extraction's working set is [B, S, n_loci]) — BENCH_NOTES round 4."""
+    return (jax.default_backend() != "cpu" and B % _RED_TB == 0
+            and n_loci >= 1)
 
 
 def _mate_counters(reads, cfg: _Cfg, tbl_a, tbl_b):
@@ -457,10 +557,8 @@ def _mate_counters(reads, cfg: _Cfg, tbl_a, tbl_b):
 
     (tbl_a, tbl_b) are DeviceIndex.tables() in the layout cfg.lookup
     names (see _lookup_rows)."""
-    h, is_fw, mask = _hash_mask(reads, cfg.k, cfg.w)
-    total = jnp.sum(mask, axis=1).astype(jnp.int32)
-
-    B, P = h.shape
+    B, L = reads.shape
+    P = L - cfg.k + 1
     # Compact to minimizer positions only before the index lookups: the
     # expected per-read minimizer count is 2P/(w+1); the cap below is
     # >2.5x that mean, so by a Chernoff bound the truncation probability
@@ -468,16 +566,25 @@ def _mate_counters(reads, cfg: _Cfg, tbl_a, tbl_b):
     # conservative for recruitment).  This cuts the lookup and
     # bitmap-extraction work ~P/S ≈ (w+1)/5-fold.
     S = min(P, max(4 * (P // (cfg.w + 1)) + 16, 16))
-    order = jnp.argsort(~mask, axis=1, stable=True)[:, :S]
-    h = jnp.take_along_axis(h, order, axis=1)
-    is_fw = jnp.take_along_axis(is_fw, order, axis=1)
-    mask = jnp.take_along_axis(mask, order, axis=1)
+    if (jax.default_backend() != "cpu" and L <= 512
+            and B % _HASH_TB == 0 and P >= 1):
+        # Fused Pallas front end: hash + minimizer mask + compaction in
+        # one VMEM-resident kernel (the XLA argsort compaction below is
+        # ~60% of the whole kernel — BENCH_NOTES round 4).
+        h, is_fw, mask, total = _front_compact_pallas(reads, cfg.k, cfg.w, S)
+    else:
+        h, is_fw, mask = _hash_mask(reads, cfg.k, cfg.w)
+        total = jnp.sum(mask, axis=1).astype(jnp.int32)
+        order = jnp.argsort(~mask, axis=1, stable=True)[:, :S]
+        h = jnp.take_along_axis(h, order, axis=1)
+        is_fw = jnp.take_along_axis(is_fw, order, axis=1)
+        mask = jnp.take_along_axis(mask, order, axis=1)
 
     G = cfg.n_groups
     found, tbl = _lookup_rows(cfg, h, mask, tbl_a, tbl_b)
 
-    if cfg.n_loci >= CSA_MIN_LOCI:
-        return _counters_csa(cfg, found, tbl, is_fw), total
+    if _use_pallas_counters(found.shape[0], cfg.n_loci):
+        return _counters_pallas(cfg, found, tbl, is_fw), total
 
     per_group = []
     for g in range(G):

@@ -456,9 +456,34 @@ class TestHashLookup:
         assert got.shape[0] == B
 
 
-class TestCsaCounters:
-    """The bit-sliced CSA counter reduce (round 4) must be bit-identical
-    to the naive per-bit extraction across the locus-count dispatch."""
+def _naive_counters(cfg, found, tbl, is_fw):
+    """The naive per-bit XLA extraction (the _mate_counters CPU path),
+    as the oracle for the Pallas reduce."""
+    import jax.numpy as jnp
+    G = cfg.n_groups
+    per_group = []
+    for g in range(G):
+        fmask = jnp.where(found, tbl[..., 1 + g], 0)
+        bmask = jnp.where(found, tbl[..., 1 + G + g], 0)
+        rmask = tbl[..., 1 + 2 * G + g]
+        m_fwdir = jnp.where(is_fw, fmask, bmask)
+        m_bwdir = jnp.where(is_fw, bmask, fmask)
+        n_here = min(32, cfg.n_loci - 32 * g)
+        bits = jnp.arange(n_here, dtype=jnp.uint32)
+        rare_b = ((rmask[..., None] >> bits) & 1) != 0
+        fw_hit = ((m_fwdir[..., None] >> bits) & 1) != 0
+        bw_hit = ((m_bwdir[..., None] >> bits) & 1) != 0
+        per_group.append(jnp.stack(
+            [jnp.sum(bw_hit & ~rare_b, axis=1),
+             jnp.sum(fw_hit & ~rare_b, axis=1),
+             jnp.sum(bw_hit & rare_b, axis=1),
+             jnp.sum(fw_hit & rare_b, axis=1)], axis=-1))
+    return jnp.concatenate(per_group, axis=1).astype(jnp.int32)
+
+
+class TestPallasCounters:
+    """The VMEM-resident Pallas counter reduce (round 4) must be
+    bit-identical to the naive XLA per-bit extraction (the CPU path)."""
 
     @pytest.fixture(scope="class")
     def many_loci(self):
@@ -480,25 +505,36 @@ class TestCsaCounters:
         idx.finalize()
         return rng, loci, idx, p
 
-    def test_bit_column_counts_exact(self):
+    def test_counters_pallas_matches_naive(self):
+        """Interpret-mode kernel vs the naive extraction on random
+        bitmaps: every locus count, group split, and stream."""
         import jax.numpy as jnp
-        from locityper_tpu.ops.recruit import _bit_column_counts
+        from jax.experimental.pallas import tpu as pltpu
+        from locityper_tpu.ops import recruit as R
         rng = np.random.default_rng(3)
-        for N, S in [(4, 1), (8, 5), (16, 80), (8, 128), (4, 100)]:
-            w = rng.integers(0, 2 ** 32, size=(N, S), dtype=np.uint32)
-            got = np.asarray(_bit_column_counts(jnp.asarray(w), 32))
-            bits = np.arange(32, dtype=np.uint32)
-            want = ((w[:, :, None] >> bits[None, None]) & 1).sum(1)
-            np.testing.assert_array_equal(got, want.astype(np.int32))
+        for n_loci, B, S in [(1, 256, 5), (4, 256, 37), (33, 512, 64),
+                             (64, 256, 100), (128, 256, 16)]:
+            G = max(-(-n_loci // 32), 1)
+            cfg = R._Cfg(n_loci, G, 15, 10, 1, 2, "sorted", 0, 0)
+            found = jnp.asarray(rng.random((B, S)) < 0.3)
+            tbl = jnp.asarray(rng.integers(
+                0, 2 ** 32, size=(B, S, 1 + 3 * G), dtype=np.uint32))
+            is_fw = jnp.asarray(rng.random((B, S)) < 0.5)
+            want = np.asarray(_naive_counters(cfg, found, tbl, is_fw))
+            with pltpu.force_tpu_interpret_mode():
+                got = np.asarray(R._counters_pallas(cfg, found, tbl, is_fw))
+            np.testing.assert_array_equal(got, want)
 
     def test_decisions_identical_across_dispatch(self, many_loci,
                                                  monkeypatch):
+        """Full pairs/short decisions with the Pallas reduce forced on
+        (interpret mode) vs the default CPU naive path."""
         import jax
+        from jax.experimental.pallas import tpu as pltpu
         from locityper_tpu.ops import recruit as R
         rng, loci, idx, p = many_loci
         dev = R.DeviceIndex.from_index(idx)
-        assert dev.n_loci >= R.CSA_MIN_LOCI      # default path IS csa here
-        B, L = 48, 192
+        B, L = 256, 192
         m1 = np.full((B, L), 4, np.int8)
         m2 = np.full((B, L), 4, np.int8)
         for i in range(B):
@@ -507,17 +543,13 @@ class TestCsaCounters:
             m1[i, :150] = h[s:s + 150]
             w = h[s + 100:s + 250]
             m2[i, :w.size] = (3 - w)[::-1]
-        ml = np.full((8, 1024), 4, np.int8)
-        for i in range(8):
-            ml[i] = np.resize(loci[i].haplotypes[0], 1024)
-        monkeypatch.setattr(R, "CSA_MIN_LOCI", 10 ** 9)
+        old = (R.run_pairs(dev, m1, m2), R.run_short(dev, m1))
+        monkeypatch.setattr(R, "_use_pallas_counters",
+                            lambda B, n_loci: True)
         jax.clear_caches()
-        old = (R.run_pairs(dev, m1, m2), R.run_short(dev, m1),
-               R.run_long(dev, ml, p.stretch_minims, p.stretch_score))
-        monkeypatch.setattr(R, "CSA_MIN_LOCI", 1)
+        with pltpu.force_tpu_interpret_mode():
+            new = (R.run_pairs(dev, m1, m2), R.run_short(dev, m1))
         jax.clear_caches()
-        new = (R.run_pairs(dev, m1, m2), R.run_short(dev, m1),
-               R.run_long(dev, ml, p.stretch_minims, p.stretch_score))
         for a, b in zip(old, new):
             np.testing.assert_array_equal(a, b)
         assert old[0].any()
