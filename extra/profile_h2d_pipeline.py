@@ -34,7 +34,7 @@ from locityper_tpu.ops import recruit as R            # noqa: E402
 rng = np.random.default_rng(0)
 genome = sim.random_genome(rng, 400_000)
 err = sim.ErrorModel(0.002, 0.0002, 0.0002)
-B, L = 16384, 152
+B, L = int(sys.argv[1]) if len(sys.argv) > 1 else 16384, 152
 
 p = RecruitParams(match_frac=0.5)
 idx = TargetIndex(p)

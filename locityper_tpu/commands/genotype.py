@@ -425,7 +425,7 @@ def recruit_reads(loci: dict, read_iter, recruit_params: RecruitParams,
 
 
 def recruit_reads_fast(loci: dict, path1, path2, recruit_params: RecruitParams,
-                       subsample=None, seed=0, batch=16384, max_len=None,
+                       subsample=None, seed=0, batch=32768, max_len=None,
                        stats: dict | None = None):
     """Native-parser + device-kernel recruitment for paired FASTQ inputs:
     the whole path from bytes to per-locus read lists avoids per-read
@@ -466,6 +466,28 @@ def recruit_reads_fast(loci: dict, path1, path2, recruit_params: RecruitParams,
                 "recruitment at width %d (no reads are ever clipped)",
                 exc.max_seen, max_len, new_len)
             max_len = new_len
+
+
+def _tail_chunks(count: int, Bb: int) -> list:
+    """Dispatch plan for one parsed batch of `count` live rows in a
+    [Bb, L] buffer: [(start, take, padded_size), ...].
+
+    A more-than-half-full batch dispatches whole at [Bb].  A tail splits
+    into greedy DESCENDING pow2 chunks (min 1024): one padded bucket
+    wastes up to half a pass at 32k batches (an 18.8k remainder padding
+    to 32k is +23% kernel work on the 4-locus bench), the split wastes
+    <1k slots.  Every pow2 shape compiles once and caches."""
+    if count > Bb // 2:
+        return [(0, count, Bb)]
+    chunks = []
+    start = 0
+    while start < count:
+        rem = count - start
+        bsz = max(min(1 << (rem.bit_length() - 1), Bb), 1024)
+        take = min(bsz, rem)
+        chunks.append((start, take, bsz))
+        start += take
+    return chunks
 
 
 def _recruit_fast_pass(order, loci, dev, path1, path2, subsample, seed,
@@ -543,14 +565,13 @@ def _recruit_fast_pass(order, loci, dev, path1, path2, subsample, seed,
         keep = (rng.random(count) < subsample) if subsample is not None             else None
         if first_scatter[0] is None and not pending:
             first_scatter[0] = _time.perf_counter()
-        # Tail batch: dispatch at the smallest pow2 bucket that holds it —
-        # a 10%-full final batch otherwise costs a FULL device pass
-        # (shapes stay bucketed, so each bucket compiles once and caches).
         Bb = m1.shape[0]
-        if count <= Bb // 2:
-            Bb = max(1 << max(count - 1, 1).bit_length(), 1024)
-        pending.append((names, m1, l1, m2, l2, count, keep,
-                        dispatch(m1[:Bb], m2[:Bb])))
+        for st, take, bsz in _tail_chunks(count, Bb):
+            kp = None if keep is None else keep[st:st + take]
+            pending.append((names[st:st + take], m1[st:st + bsz],
+                            l1[st:st + bsz], m2[st:st + bsz],
+                            l2[st:st + bsz], take, kp,
+                            dispatch(m1[st:st + bsz], m2[st:st + bsz])))
         # Pipeline depth 3: with the fused kernel at ~64 ms/batch the
         # D2H fetch + H2D upload legs no longer hide inside compute at
         # depth 1 (chip probe, BENCH_NOTES round 4: depth 1 is 110-236

@@ -517,14 +517,18 @@ def _counters_pallas(cfg: _Cfg, found, tbl, is_fw):
             streams = (m_bw & ~rm, m_fw & ~rm, m_bw & rm, m_fw & rm)
             cols = []
             for w0 in streams:
-                counts = jnp.zeros((TB, 32), jnp.int32)
-                w = w0
-                for l in range(n_here):
+                # fori_loop, not unrolled python: 4G·n_here unrolled
+                # iterations blow the 16 MB Mosaic scoped-VMEM stack at
+                # G >= 2 (the same failure _front_compact_pallas hit).
+                def bit_body(l, carry):
+                    w, counts = carry
                     hit = w & 1
                     c = jnp.sum(hit, axis=1, keepdims=True)   # [TB, 1]
-                    counts = counts + c * (iota32 == l)
-                    if l + 1 < n_here:
-                        w = srl(w, 1)
+                    return srl(w, 1), counts + c * (iota32 == l)
+
+                _, counts = jax.lax.fori_loop(
+                    0, n_here, bit_body,
+                    (w0, jnp.zeros((TB, 32), jnp.int32)))
                 cols.append(counts)
             groups.append(jnp.stack(cols, axis=1))            # [TB, 4, 32]
         out_ref[...] = jnp.concatenate(groups, axis=2)        # [TB, 4, 32G]

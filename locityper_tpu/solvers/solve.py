@@ -324,6 +324,21 @@ def _unpermute_assignments(assgns, gts, tensors, params):
     return out
 
 
+def _device_solver_args(tensors, pack, bayes, mesh):
+    """The 9 array operands every stage call passes to the solver, made
+    device-resident ONCE: as numpy they take the slow implicit-H2D path
+    on EVERY chunked stage call (BENCH_NOTES round 2 — ~100 MB/call for
+    a 100-locus combined panel).  Mesh runs keep numpy: arrays committed
+    to one device conflict with shard_map placement."""
+    import jax
+    args = (tensors.hap_prob, tensors.hap_mid, tensors.unmapped_prob,
+            pack.n_windows, pack.reg_start, pack.contig_len,
+            pack.gc_at, pack.weight_at, bayes)
+    if mesh is not None:
+        return args
+    return tuple(jax.device_put(a) for a in args)
+
+
 def solve_locus(tensors: LocusTensors, pack: ContigInfoPack, bg_distr,
                 genotypes: np.ndarray, priors: np.ndarray, params: Params,
                 scheme: Scheme, key, tag: str = "locus",
@@ -348,6 +363,7 @@ def solve_locus(tensors: LocusTensors, pack: ContigInfoPack, bg_distr,
     mul_coef = 2.0 if bg_distr.insert_distr.is_paired_end else 1.0
     bayes = build_bayes_table(bg_distr.depth.distributions, list(params.alt_cn),
                               mul_coef)
+    dev_args = _device_solver_args(tensors, pack, bayes, mesh)
     # Stage-0 filter on pure alignment likelihood.
     n_real = tensors.n_reads
     best_aln = np.maximum(tensors.hap_prob[:, :n_real].max(axis=2),
@@ -406,9 +422,7 @@ def solve_locus(tensors: LocusTensors, pack: ContigInfoPack, bg_distr,
 
             def run_solver(key_, gts_):
                 return solve_genotypes_pallas(
-                    key_, gts_, tensors.hap_prob, tensors.hap_mid,
-                    tensors.unmapped_prob, pack.n_windows, pack.reg_start,
-                    pack.contig_len, pack.gc_at, pack.weight_at, bayes, cfg,
+                    key_, gts_, *dev_args, cfg,
                     n_attempts=stage.attempts, max_windows=pack.max_windows,
                     n_steps=cfg.anneal_steps + cfg.polish_steps,
                     random_init=random_init)
@@ -417,17 +431,13 @@ def solve_locus(tensors: LocusTensors, pack: ContigInfoPack, bg_distr,
 
             def run_solver(key_, gts_):
                 return solve_genotypes_batched(
-                    key_, gts_, tensors.hap_prob, tensors.hap_mid,
-                    tensors.unmapped_prob, pack.n_windows, pack.reg_start,
-                    pack.contig_len, pack.gc_at, pack.weight_at, bayes, cfg,
+                    key_, gts_, *dev_args, cfg,
                     n_attempts=stage.attempts, max_windows=pack.max_windows,
                     n_steps=stage.batched_steps, random_init=random_init)
         else:
             def run_solver(key_, gts_):
                 return solve_genotypes(
-                    key_, gts_, tensors.hap_prob, tensors.hap_mid,
-                    tensors.unmapped_prob, pack.n_windows, pack.reg_start,
-                    pack.contig_len, pack.gc_at, pack.weight_at, bayes, cfg,
+                    key_, gts_, *dev_args, cfg,
                     n_attempts=stage.attempts, max_windows=pack.max_windows,
                     random_init=random_init)
         for s in range(0, ixs.size, gt_batch):
@@ -605,6 +615,7 @@ def _solve_panel_group(items: list, bg_distr, params: Params, scheme: Scheme,
     mul_coef = 2.0 if bg_distr.insert_distr.is_paired_end else 1.0
     bayes = build_bayes_table(bg_distr.depth.distributions,
                               list(params.alt_cn), mul_coef)
+    dev_args = _device_solver_args(tensors, pack, bayes, mesh)
 
     def write_sol(it, stage_ix, ix, score):
         if it.sol_writer is not None:
@@ -660,9 +671,7 @@ def _solve_panel_group(items: list, bg_distr, params: Params, scheme: Scheme,
 
             def run_solver(key_, gts_):
                 return solve_genotypes_pallas(
-                    key_, gts_, tensors.hap_prob, tensors.hap_mid,
-                    tensors.unmapped_prob, pack.n_windows, pack.reg_start,
-                    pack.contig_len, pack.gc_at, pack.weight_at, bayes, cfg,
+                    key_, gts_, *dev_args, cfg,
                     n_attempts=stage.attempts, max_windows=pack.max_windows,
                     n_steps=cfg.anneal_steps + cfg.polish_steps,
                     random_init=random_init)
@@ -671,17 +680,13 @@ def _solve_panel_group(items: list, bg_distr, params: Params, scheme: Scheme,
 
             def run_solver(key_, gts_):
                 return solve_genotypes_batched(
-                    key_, gts_, tensors.hap_prob, tensors.hap_mid,
-                    tensors.unmapped_prob, pack.n_windows, pack.reg_start,
-                    pack.contig_len, pack.gc_at, pack.weight_at, bayes, cfg,
+                    key_, gts_, *dev_args, cfg,
                     n_attempts=stage.attempts, max_windows=pack.max_windows,
                     n_steps=stage.batched_steps, random_init=random_init)
         else:
             def run_solver(key_, gts_):
                 return solve_genotypes(
-                    key_, gts_, tensors.hap_prob, tensors.hap_mid,
-                    tensors.unmapped_prob, pack.n_windows, pack.reg_start,
-                    pack.contig_len, pack.gc_at, pack.weight_at, bayes, cfg,
+                    key_, gts_, *dev_args, cfg,
                     n_attempts=stage.attempts, max_windows=pack.max_windows,
                     random_init=random_init)
 

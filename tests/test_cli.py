@@ -652,3 +652,27 @@ class TestPreprocFlags:
         r = bg2.depth.depth_distribution(45).mean() \
             / bg1.depth.depth_distribution(45).mean()
         assert r == pytest.approx(1.0, rel=1e-6)
+
+
+def test_tail_chunks_cover_exactly():
+    """Dispatch plan: contiguous cover of [0, count), pow2 padded sizes
+    >= 1024, over-half batches whole (commands/genotype.py:_tail_chunks)."""
+    from locityper_tpu.commands.genotype import _tail_chunks
+    for Bb in (1024, 16384, 32768):
+        for count in (1, 5, 1023, Bb // 2, Bb // 2 + 1,
+                      Bb - 1, Bb, 18831 if Bb > 18831 else 3):
+            chunks = _tail_chunks(count, Bb)
+            pos = 0
+            slots = 0
+            for st, take, bsz in chunks:
+                assert st == pos
+                assert 1 <= take <= bsz <= Bb
+                assert bsz >= 1024 and (bsz & (bsz - 1)) == 0
+                pos += take
+                slots += bsz
+            assert pos == count
+            if count > Bb // 2:
+                assert chunks == [(0, count, Bb)]
+            else:
+                # The split never wastes more than the 1024 floor.
+                assert slots < count + 1024
