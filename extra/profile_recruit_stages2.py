@@ -159,20 +159,38 @@ def v_full_naive(r1, r2, ta, tb):
     return _decide(c, total)
 
 
-def v_full_pallas(r1, r2, ta, tb):
+def _naive_reduce(found, rows, is_fw):
+    G = cfg.n_groups
+    per_group = []
+    for g in range(G):
+        fmask = jnp.where(found, rows[..., 1 + g], 0)
+        bmask = jnp.where(found, rows[..., 1 + G + g], 0)
+        rmask = rows[..., 1 + 2 * G + g]
+        m_fwdir = jnp.where(is_fw, fmask, bmask)
+        m_bwdir = jnp.where(is_fw, bmask, fmask)
+        n_here = min(32, cfg.n_loci - 32 * g)
+        bits = jnp.arange(n_here, dtype=jnp.uint32)
+        rare_b = ((rmask[..., None] >> bits) & 1) != 0
+        fw_hit = ((m_fwdir[..., None] >> bits) & 1) != 0
+        bw_hit = ((m_bwdir[..., None] >> bits) & 1) != 0
+        per_group.append(jnp.stack(
+            [jnp.sum(bw_hit & ~rare_b, axis=1),
+             jnp.sum(fw_hit & ~rare_b, axis=1),
+             jnp.sum(bw_hit & rare_b, axis=1),
+             jnp.sum(fw_hit & rare_b, axis=1)], axis=-1))
+    return jnp.concatenate(per_group, axis=1).astype(jnp.int32)
+
+
+def v_fused_naive(r1, r2, ta, tb):
+    """Fused Pallas front end -> lookup -> NAIVE XLA reduce."""
     both = jnp.concatenate([r1, r2], axis=0)
-    h, is_fw, mask, total = _front(both)
+    Bb, L = both.shape
+    P = L - cfg.k + 1
+    S = min(P, max(4 * (P // (cfg.w + 1)) + 16, 16))
+    h, is_fw, mask, total = R._front_compact_pallas(both, cfg.k, cfg.w, S)
     found, rows = R._lookup_rows(cfg, h, mask, ta, tb)
-    c = R._counters_pallas(cfg, found, rows, is_fw)
+    c = _naive_reduce(found, rows, is_fw)
     return _decide(c, total)
-
-
-def v_full_fused(r1, r2, ta, tb):
-    """The production path: fused Pallas front end (hash + mask +
-    compaction) -> lookup -> Pallas counter reduce."""
-    both = jnp.concatenate([r1, r2], axis=0)
-    c, t = R._mate_counters(both, cfg, ta, tb)
-    return _decide(c, t)
 
 
 VARIANTS = [
@@ -181,8 +199,8 @@ VARIANTS = [
     ("lookup", v_lookup),
     ("rows", v_rows),
     ("full_naive", v_full_naive),
-    ("full_pallas", v_full_pallas),
     ("full_fused", v_full_fused),
+    ("fused_naive", v_fused_naive),
 ]
 
 fns = {}
@@ -191,15 +209,18 @@ for name, f in VARIANTS:
     jf = jax.jit(f)
     warm[name] = np.asarray(jf(d1, d2, ta, tb))     # compile + warm
     fns[name] = jf
-assert np.array_equal(warm["full_naive"], warm["full_pallas"]), \
-    "pallas counter reduce diverges from the naive extraction"
 assert np.array_equal(warm["full_naive"], warm["full_fused"]), \
     "fused front end diverges from the argsort path"
+assert np.array_equal(warm["full_naive"], warm["fused_naive"]), \
+    "fused front + naive reduce diverges"
 print(json.dumps(dict(stage="parity", identical=True)), flush=True)
 
 times = {name: [] for name, _ in VARIANTS}
 times["h2d"] = []
 times["d2h"] = []
+times["d2h_packed"] = []
+G = cfg.n_groups
+packed_dec = jax.device_put(np.zeros((B, G), np.uint32))
 dec = jax.jit(lambda a, b, x, y: R.recruit_pairs_batch.__wrapped__(
     cfg, a, b, x, y))
 dec_out = dec(d1, d2, ta, tb)
@@ -219,8 +240,11 @@ for _round in range(10):
     t0 = time.perf_counter()
     np.asarray(out)
     times["d2h"].append(time.perf_counter() - t0)
+    t0 = time.perf_counter()
+    np.asarray(packed_dec)
+    times["d2h_packed"].append(time.perf_counter() - t0)
 
-for name in list(dict(VARIANTS)) + ["h2d", "d2h"]:
+for name in list(dict(VARIANTS)) + ["h2d", "d2h", "d2h_packed"]:
     ts = times[name]
     print(json.dumps(dict(
         stage=name, n_loci=N_LOCI, keys=int(dev.keys.size),

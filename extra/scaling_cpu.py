@@ -72,8 +72,9 @@ def run_one(n: int) -> None:
 
     def recruit_once():
         if mesh is not None:
-            return np.asarray(sharded_recruit_pairs(
-                mesh, dev.cfg, r1, r2, *dev.tables()))
+            from locityper_tpu.ops.recruit import unpack_decisions
+            return unpack_decisions(np.asarray(sharded_recruit_pairs(
+                mesh, dev.cfg, r1, r2, *dev.tables())), dev.n_loci)
         from locityper_tpu.ops.recruit import run_pairs
         return run_pairs(dev, r1, r2)
 

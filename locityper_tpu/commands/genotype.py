@@ -322,10 +322,11 @@ def recruit_reads(loci: dict, read_iter, recruit_params: RecruitParams,
     def resolve_pending(keep: int = 1):
         while len(pending) > keep:
             buf, res, paired = pending.pop(0)
-            scatter_hits(buf, np.asarray(res), paired)
+            scatter_hits(buf, res, paired)
 
     def scatter_hits(buf, hits, paired):
-        hits = np.asarray(hits[:len(buf)], bool)
+        from ..ops.recruit import unpack_decisions
+        hits = unpack_decisions(hits, len(order))[:len(buf)]
         ri, li = np.nonzero(hits)
         for i, lx in zip(ri, li):
             name, c1, c2 = buf[i]
@@ -517,8 +518,10 @@ def _recruit_fast_pass(order, loci, dev, path1, path2, subsample, seed,
     def scatter(entry):
         names, m1, l1, m2, l2, count, keep, res = entry
         # Vectorized hit grouping (VERDICT r1 weak #1): non-recruited reads
-        # cost zero Python; per-read work only for actual hits.
-        hits = np.asarray(res)[:count]
+        # cost zero Python; per-read work only for actual hits.  Decisions
+        # arrive as packed [B, G] uint32 bitmaps (D2H is 8-25x smaller).
+        from ..ops.recruit import unpack_decisions
+        hits = unpack_decisions(res, len(order))[:count]
         if keep is not None:
             hits = hits & keep[:, None]
         anyhit = hits.any(axis=1)

@@ -474,87 +474,6 @@ def _lookup_rows(cfg: _Cfg, h, mask, tbl_a, tbl_b):
     return found, rows
 
 
-_RED_TB = 256                   # pallas counter-reduce batch tile
-
-
-def _counters_pallas(cfg: _Cfg, found, tbl, is_fw):
-    """[B, n_loci, 4] counters via a VMEM-resident Pallas reduce.
-
-    Both XLA formulations of the per-locus counter reduce stream large
-    intermediates through HBM (the naive path materializes/fuses over a
-    [B, S, n_loci] hit tensor, the bit-sliced CSA tree materializes every
-    adder level), which makes the reduce the kernel ceiling at high locus
-    counts (BENCH_NOTES round 3/4).  Here each [TB, S] block stays VMEM-
-    resident and the per-bit loop runs at register speed; work scales
-    with n_loci exactly (the partial last group loops its live bits only).
-
-    Mosaic constraints (see _hash_mask_pallas): int32 arithmetic with
-    LOGICAL scalar shifts only; no vector-shift bit extraction — the
-    per-locus column is placed with an iota==l one-hot multiply; no
-    jnp.roll, no lane slicing; the packed rows arrive pre-transposed to
-    [3G, B, S] so the word-type index is a major-axis (not lane) index.
-    """
-    from jax.experimental import pallas as pl
-
-    B, S = found.shape
-    G = cfg.n_groups
-    TB = _RED_TB
-
-    def kern(found_ref, isfw_ref, tblT_ref, out_ref):
-        srl = jax.lax.shift_right_logical
-        found_b = found_ref[...]
-        isfw_b = isfw_ref[...]
-        iota32 = jax.lax.broadcasted_iota(jnp.int32, (TB, 32), 1)
-        zero = jnp.zeros((TB, S), jnp.int32)
-        groups = []
-        for g in range(G):
-            fm = jnp.where(found_b, tblT_ref[g], zero)
-            bm = jnp.where(found_b, tblT_ref[G + g], zero)
-            rm = tblT_ref[2 * G + g]
-            m_fw = jnp.where(isfw_b, fm, bm)
-            m_bw = jnp.where(isfw_b, bm, fm)
-            n_here = min(32, cfg.n_loci - 32 * g)
-            streams = (m_bw & ~rm, m_fw & ~rm, m_bw & rm, m_fw & rm)
-            cols = []
-            for w0 in streams:
-                # fori_loop, not unrolled python: 4G·n_here unrolled
-                # iterations blow the 16 MB Mosaic scoped-VMEM stack at
-                # G >= 2 (the same failure _front_compact_pallas hit).
-                def bit_body(l, carry):
-                    w, counts = carry
-                    hit = w & 1
-                    c = jnp.sum(hit, axis=1, keepdims=True)   # [TB, 1]
-                    return srl(w, 1), counts + c * (iota32 == l)
-
-                _, counts = jax.lax.fori_loop(
-                    0, n_here, bit_body,
-                    (w0, jnp.zeros((TB, 32), jnp.int32)))
-                cols.append(counts)
-            groups.append(jnp.stack(cols, axis=1))            # [TB, 4, 32]
-        out_ref[...] = jnp.concatenate(groups, axis=2)        # [TB, 4, 32G]
-
-    # Packed rows without the key word, word-type as the MAJOR axis.
-    tblT = jax.lax.bitcast_convert_type(
-        jnp.moveaxis(tbl[..., 1:], -1, 0), jnp.int32)
-    out = pl.pallas_call(
-        kern, grid=(B // TB,),
-        in_specs=[pl.BlockSpec((TB, S), lambda i: (i, 0)),
-                  pl.BlockSpec((TB, S), lambda i: (i, 0)),
-                  pl.BlockSpec((3 * G, TB, S), lambda i: (0, i, 0))],
-        out_specs=pl.BlockSpec((TB, 4, 32 * G), lambda i: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, 4, 32 * G), jnp.int32),
-    )(found, is_fw, tblT)
-    return jnp.moveaxis(out, 1, 2)[:, :cfg.n_loci, :]
-
-
-def _use_pallas_counters(B: int, n_loci: int) -> bool:
-    """TPU default for every locus count: neutral at 4 loci (173.6 vs
-    175.3 ms interleaved A/B), wins as n_loci grows (the naive XLA
-    extraction's working set is [B, S, n_loci]) — BENCH_NOTES round 4."""
-    return (jax.default_backend() != "cpu" and B % _RED_TB == 0
-            and n_loci >= 1)
-
-
 def _mate_counters(reads, cfg: _Cfg, tbl_a, tbl_b):
     """Per-locus counters [B, n_loci, 4] = [bw_c, fw_c, bw_r, fw_r] and the
     minimizer totals [B] — via bitmap extraction, no scatters.
@@ -587,9 +506,6 @@ def _mate_counters(reads, cfg: _Cfg, tbl_a, tbl_b):
     G = cfg.n_groups
     found, tbl = _lookup_rows(cfg, h, mask, tbl_a, tbl_b)
 
-    if _use_pallas_counters(found.shape[0], cfg.n_loci):
-        return _counters_pallas(cfg, found, tbl, is_fw), total
-
     per_group = []
     for g in range(G):
         fmask = jnp.where(found, tbl[..., 1 + g], 0)      # [B, S] uint32
@@ -616,6 +532,30 @@ def _mate_counters(reads, cfg: _Cfg, tbl_a, tbl_b):
     return counts, total                                   # [B, n_loci, 4]
 
 
+def _pack_decisions(dec):
+    """[B, n_loci] bool -> [B, G] uint32 locus bitmaps.  Decisions travel
+    D2H packed: the [B, n_loci] bool fetch costs 76-100 ms/batch at 100
+    loci over the relay, the packed form ~28 ms flat (BENCH_NOTES r4)."""
+    B, n = dec.shape
+    G = max(-(-n // 32), 1)
+    pad = 32 * G - n
+    if pad:
+        dec = jnp.pad(dec, ((0, 0), (0, pad)))
+    d = dec.reshape(B, G, 32).astype(jnp.uint32)
+    bits = jnp.arange(32, dtype=jnp.uint32)
+    return jnp.sum(d << bits, axis=2, dtype=jnp.uint32)
+
+
+def unpack_decisions(arr, n_loci: int) -> np.ndarray:
+    """Host inverse of _pack_decisions; passes bool arrays through (the
+    host twin and older checkpoints return unpacked decisions)."""
+    arr = np.asarray(arr)
+    if arr.dtype == np.bool_:
+        return arr
+    bits = (arr[:, :, None] >> np.arange(32, dtype=np.uint32)) & 1
+    return bits.reshape(arr.shape[0], -1)[:, :n_loci].astype(bool)
+
+
 def _numer_denoms(counts, total):
     """fw/bw weighted numerators and denominators (recruit.rs:294-348)."""
     bw_c = counts[..., 0]
@@ -633,14 +573,15 @@ def _numer_denoms(counts, total):
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def recruit_short_batch(cfg, reads, tbl_a, tbl_b):
-    """[B, n_loci] bool decisions for short single-end reads."""
+    """Packed [B, G] uint32 decisions for short single-end reads
+    (unpack_decisions for the bool view)."""
     counts, total = _mate_counters(reads, cfg, tbl_a, tbl_b)
     fw_n, bw_n, fw_d, bw_d, has_rare = _numer_denoms(counts, total)
     use_fw = fw_n >= bw_n
     numer = jnp.where(use_fw, fw_n, bw_n)
     denom = jnp.maximum(jnp.where(use_fw, fw_d, bw_d), 1)
     passed = numer * cfg.frac_q >= cfg.frac_p * denom
-    return has_rare & passed
+    return _pack_decisions(has_rare & passed)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -665,7 +606,7 @@ def recruit_pairs_batch(cfg, reads1, reads2, tbl_a, tbl_b):
     # Mate-1 must have at least one match at the locus (the reference never
     # inserts mate-2-only loci, recruit.rs:915-917).
     any1 = jnp.sum(c1, axis=-1) > 0
-    return (rare1 | rare2) & ok1 & ok2 & any1
+    return _pack_decisions((rare1 | rare2) & ok1 & ok2 & any1)
 
 
 def _max_subarray(v):
@@ -758,7 +699,7 @@ def recruit_long_batch(cfg, reads, tbl_a, tbl_b, stretch_minims: int,
     best_bw = _max_subarray(v_bw)
     stretch_ok = ((denom < stretch_minims) | (best_fw >= stretch_score)
                   | (best_bw >= stretch_score))
-    return frac_ok & stretch_ok
+    return _pack_decisions(frac_ok & stretch_ok)
 
 
 def run_long_async(dev: DeviceIndex, reads: np.ndarray, stretch_minims: int,
@@ -782,13 +723,14 @@ def run_pairs_async(dev: DeviceIndex, reads1: np.ndarray,
 
 def run_long(dev: DeviceIndex, reads: np.ndarray, stretch_minims: int,
              stretch_score: int):
-    return np.asarray(run_long_async(dev, reads, stretch_minims,
-                                     stretch_score))
+    return unpack_decisions(run_long_async(dev, reads, stretch_minims,
+                                           stretch_score), dev.n_loci)
 
 
 def run_short(dev: DeviceIndex, reads: np.ndarray):
-    return np.asarray(run_short_async(dev, reads))
+    return unpack_decisions(run_short_async(dev, reads), dev.n_loci)
 
 
 def run_pairs(dev: DeviceIndex, reads1: np.ndarray, reads2: np.ndarray):
-    return np.asarray(run_pairs_async(dev, reads1, reads2))
+    return unpack_decisions(run_pairs_async(dev, reads1, reads2),
+                            dev.n_loci)

@@ -319,7 +319,8 @@ class TestPallasHashFrontEnd:
 def test_sharded_recruit_matches_single_device():
     """sharded_recruit_pairs over the virtual mesh must equal the
     single-device kernel decisions exactly (P1 as data parallelism)."""
-    from locityper_tpu.ops.recruit import DeviceIndex, run_pairs
+    from locityper_tpu.ops.recruit import (DeviceIndex, run_pairs,
+                                           unpack_decisions)
     from locityper_tpu.parallel.mesh import make_mesh, sharded_recruit_pairs
 
     rng = np.random.default_rng(0)
@@ -346,8 +347,8 @@ def test_sharded_recruit_matches_single_device():
             r2[i, :120] = rng.integers(0, 4, 120)
     single = run_pairs(dev, r1, r2)
     mesh = make_mesh()
-    sharded = np.asarray(sharded_recruit_pairs(
-        mesh, dev.cfg, r1, r2, *dev.tables()))
+    sharded = unpack_decisions(np.asarray(sharded_recruit_pairs(
+        mesh, dev.cfg, r1, r2, *dev.tables())), dev.n_loci)
     np.testing.assert_array_equal(sharded, single)
     assert single.any() and not single.all()
 
@@ -456,100 +457,57 @@ class TestHashLookup:
         assert got.shape[0] == B
 
 
-def _naive_counters(cfg, found, tbl, is_fw):
-    """The naive per-bit XLA extraction (the _mate_counters CPU path),
-    as the oracle for the Pallas reduce."""
-    import jax.numpy as jnp
-    G = cfg.n_groups
-    per_group = []
-    for g in range(G):
-        fmask = jnp.where(found, tbl[..., 1 + g], 0)
-        bmask = jnp.where(found, tbl[..., 1 + G + g], 0)
-        rmask = tbl[..., 1 + 2 * G + g]
-        m_fwdir = jnp.where(is_fw, fmask, bmask)
-        m_bwdir = jnp.where(is_fw, bmask, fmask)
-        n_here = min(32, cfg.n_loci - 32 * g)
-        bits = jnp.arange(n_here, dtype=jnp.uint32)
-        rare_b = ((rmask[..., None] >> bits) & 1) != 0
-        fw_hit = ((m_fwdir[..., None] >> bits) & 1) != 0
-        bw_hit = ((m_bwdir[..., None] >> bits) & 1) != 0
-        per_group.append(jnp.stack(
-            [jnp.sum(bw_hit & ~rare_b, axis=1),
-             jnp.sum(fw_hit & ~rare_b, axis=1),
-             jnp.sum(bw_hit & rare_b, axis=1),
-             jnp.sum(fw_hit & rare_b, axis=1)], axis=-1))
-    return jnp.concatenate(per_group, axis=1).astype(jnp.int32)
+class TestFusedFrontEnd:
+    """_front_compact_pallas (hash + minimizer mask + compaction in one
+    Mosaic kernel) must match the XLA argsort path bit-for-bit on the
+    surviving entries, including truncation order; packed decisions must
+    round-trip (round 4)."""
 
-
-class TestPallasCounters:
-    """The VMEM-resident Pallas counter reduce (round 4) must be
-    bit-identical to the naive XLA per-bit extraction (the CPU path)."""
-
-    @pytest.fixture(scope="class")
-    def many_loci(self):
-        from locityper_tpu.seq.contigs import ContigSet
-        from locityper_tpu.seq.counts import KmerCounts
-        rng = np.random.default_rng(17)
-        p = RecruitParams(match_frac=0.5)
-        idx = TargetIndex(p)
-        loci = []
-        for i in range(40):                      # 2 bitmap groups
-            locus = sim.simulate_locus(rng, f"L{i}", length=1500, n_haps=2,
-                                       divergence=0.02)
-            kc = KmerCounts(p.minimizer_k, [
-                np.zeros(max(h.size - p.minimizer_k + 1, 0), np.uint16)
-                for h in locus.haplotypes])
-            idx.add_locus(ContigSet(f"L{i}", locus.hap_names,
-                                    locus.haplotypes), kc)
-            loci.append(locus)
-        idx.finalize()
-        return rng, loci, idx, p
-
-    def test_counters_pallas_matches_naive(self):
-        """Interpret-mode kernel vs the naive extraction on random
-        bitmaps: every locus count, group split, and stream."""
+    def test_compaction_matches_argsort(self):
         import jax.numpy as jnp
         from jax.experimental.pallas import tpu as pltpu
         from locityper_tpu.ops import recruit as R
-        rng = np.random.default_rng(3)
-        for n_loci, B, S in [(1, 256, 5), (4, 256, 37), (33, 512, 64),
-                             (64, 256, 100), (128, 256, 16)]:
-            G = max(-(-n_loci // 32), 1)
-            cfg = R._Cfg(n_loci, G, 15, 10, 1, 2, "sorted", 0, 0)
-            found = jnp.asarray(rng.random((B, S)) < 0.3)
-            tbl = jnp.asarray(rng.integers(
-                0, 2 ** 32, size=(B, S, 1 + 3 * G), dtype=np.uint32))
-            is_fw = jnp.asarray(rng.random((B, S)) < 0.5)
-            want = np.asarray(_naive_counters(cfg, found, tbl, is_fw))
+        rng = np.random.default_rng(1)
+        k, w = 15, 10
+        for B, L, S_override, n_frac in [(256, 152, None, 0.0),
+                                         (256, 152, 8, 0.0),    # truncating
+                                         (512, 251, 16, 0.0),   # truncating
+                                         (256, 64, None, 0.1)]:  # with Ns
+            reads = rng.integers(0, 4, size=(B, L)).astype(np.int8)
+            if n_frac:
+                reads[rng.random((B, L)) < n_frac] = 4
+            reads[:8, 40:60] = 4
+            P = L - k + 1
+            S = S_override or min(P, max(4 * (P // (w + 1)) + 16, 16))
+            h, is_fw = R._canonical_hashes(jnp.asarray(reads), k)
+            mask = R._minimizer_mask(h, w)
+            hs = (h ^ jnp.uint32(R.SIGN_BIT)).astype(jnp.int32)
+            total_x = np.asarray(jnp.sum(mask, axis=1)).astype(np.int32)
+            order = jnp.argsort(~mask, axis=1, stable=True)[:, :S]
+            hx = np.asarray(jnp.take_along_axis(hs, order, axis=1))
+            fx = np.asarray(jnp.take_along_axis(is_fw, order, axis=1))
+            mx = np.asarray(jnp.take_along_axis(mask, order, axis=1))
             with pltpu.force_tpu_interpret_mode():
-                got = np.asarray(R._counters_pallas(cfg, found, tbl, is_fw))
-            np.testing.assert_array_equal(got, want)
+                hc, fc, mc, tot = R._front_compact_pallas(
+                    jnp.asarray(reads), k, w, S)
+            hc, fc, mc, tot = map(np.asarray, (hc, fc, mc, tot))
+            np.testing.assert_array_equal(mc, mx)
+            np.testing.assert_array_equal(tot, total_x)
+            np.testing.assert_array_equal(np.where(mc, hc, 0),
+                                          np.where(mx, hx, 0))
+            np.testing.assert_array_equal(fc & mc, fx & mx)
 
-    def test_decisions_identical_across_dispatch(self, many_loci,
-                                                 monkeypatch):
-        """Full pairs/short decisions with the Pallas reduce forced on
-        (interpret mode) vs the default CPU naive path."""
-        import jax
-        from jax.experimental.pallas import tpu as pltpu
-        from locityper_tpu.ops import recruit as R
-        rng, loci, idx, p = many_loci
-        dev = R.DeviceIndex.from_index(idx)
-        B, L = 256, 192
-        m1 = np.full((B, L), 4, np.int8)
-        m2 = np.full((B, L), 4, np.int8)
-        for i in range(B):
-            h = loci[i % len(loci)].haplotypes[i % 2]
-            s = int(rng.integers(0, h.size - 310))
-            m1[i, :150] = h[s:s + 150]
-            w = h[s + 100:s + 250]
-            m2[i, :w.size] = (3 - w)[::-1]
-        old = (R.run_pairs(dev, m1, m2), R.run_short(dev, m1))
-        monkeypatch.setattr(R, "_use_pallas_counters",
-                            lambda B, n_loci: True)
-        jax.clear_caches()
-        with pltpu.force_tpu_interpret_mode():
-            new = (R.run_pairs(dev, m1, m2), R.run_short(dev, m1))
-        jax.clear_caches()
-        for a, b in zip(old, new):
-            np.testing.assert_array_equal(a, b)
-        assert old[0].any()
+    def test_packed_decisions_roundtrip(self):
+        import jax.numpy as jnp
+        from locityper_tpu.ops.recruit import (_pack_decisions,
+                                               unpack_decisions)
+        rng = np.random.default_rng(2)
+        for B, n_loci in [(16, 1), (64, 31), (64, 32), (32, 33), (8, 100)]:
+            dec = rng.random((B, n_loci)) < 0.2
+            packed = np.asarray(_pack_decisions(jnp.asarray(dec)))
+            assert packed.shape == (B, max(-(-n_loci // 32), 1))
+            assert packed.dtype == np.uint32
+            np.testing.assert_array_equal(unpack_decisions(packed, n_loci),
+                                          dec)
+            # bool arrays pass through (host twin path)
+            np.testing.assert_array_equal(unpack_decisions(dec, n_loci), dec)
