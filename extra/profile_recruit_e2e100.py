@@ -111,8 +111,10 @@ def parse_dispatch():
     for nm, m1, l1, m2, l2, count in fast_paired_batches(
             str(fq1), str(fq2), batch=BATCH, max_len=MAXLEN):
         for st, take, bsz in _tail_chunks(count, m1.shape[0]):
-            pend.append(R.run_pairs_async(dev, m1[st:st + bsz],
-                                          m2[st:st + bsz]))
+            res = R.run_pairs_async_packed(dev, m1[st:st + bsz],
+                                           m2[st:st + bsz])
+            res.copy_to_host_async()
+            pend.append(res)
             while len(pend) > 3:
                 np.asarray(pend.pop(0))
     while pend:

@@ -441,7 +441,7 @@ def recruit_reads_fast(loci: dict, path1, path2, recruit_params: RecruitParams,
     (64-bucketed); a longer read appearing mid-stream restarts the whole
     pass at the wider bucket — reads are NEVER clipped (the reference
     recruiter always sees full sequences, recruit.rs:852-932)."""
-    from ..ops.recruit import DeviceIndex, run_pairs_async
+    from ..ops.recruit import DeviceIndex
     from ..seq.fastx import (fast_paired_batches, MaxLenExceeded,
                              probe_fastq_max_len, _bucket_len)
 
@@ -495,21 +495,34 @@ def _recruit_fast_pass(order, loci, dev, path1, path2, subsample, seed,
                        batch, max_len, stats: dict | None = None):
     """One full recruitment pass at a fixed batch width (recruit_reads_fast
     restarts it on MaxLenExceeded)."""
-    from ..ops.recruit import run_pairs_async
     from ..seq.fastx import fast_paired_batches
 
     # Multi-device: shard each batch over the local mesh (linear recruit
     # scaling across chips — no collectives); single device keeps the
     # plain async kernel path.
     from ..parallel.mesh import MeshPairRecruiter, auto_mesh
+    from ..ops.recruit import run_pairs_async_packed
     mesh = auto_mesh()
     if mesh is not None:
         recruiter = MeshPairRecruiter(mesh, dev)
-        dispatch = recruiter.run_async
+        mesh_dispatch = recruiter.run_async
+
+        def dispatch(m1, m2):
+            res = mesh_dispatch(m1, m2)
+            if hasattr(res, "copy_to_host_async"):
+                res.copy_to_host_async()
+            return res
         logger.info("Recruitment sharded over %d devices", mesh.devices.size)
     else:
         def dispatch(m1, m2):
-            return run_pairs_async(dev, m1, m2)
+            # 4-bit packed single upload + async D2H: interleaved chip A/B
+            # (extra/profile_packed_h2d.py, BENCH_NOTES r4) — 231 ->
+            # 114 ms/batch at 32k pairs/100 loci.  H2D during sustained
+            # kernel activity runs at relay-queueing speed, so halving the
+            # bytes and prefetching the decision bitmaps both pay off.
+            res = run_pairs_async_packed(dev, m1, m2)
+            res.copy_to_host_async()
+            return res
 
     out = {name: ([], []) for name in order}
     progress = Progress(logger, "reads")

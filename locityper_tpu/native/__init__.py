@@ -52,6 +52,7 @@ def get_lib():
     i64p = np.ctypeslib.ndpointer(np.int64, flags="C")
 
     lib.encode_dna.argtypes = [u8p, ctypes.c_int64, i8p]
+    lib.pack_codes4.argtypes = [i8p, ctypes.c_int64, ctypes.c_int64, u32p]
     lib.canonical_kmers.argtypes = [i8p, ctypes.c_int64, ctypes.c_int32,
                                     u64p, u8p, u8p]
     lib.minimizers32.argtypes = [i8p, ctypes.c_int64, ctypes.c_int32,
@@ -110,6 +111,22 @@ def get_lib():
 
 def available() -> bool:
     return get_lib() is not None
+
+
+def pack_codes4(mats) -> np.ndarray:
+    """Concatenate [B, L] int8 code matrices (L % 8 == 0) row-wise into a
+    single [sum(B), L/8] uint32 4-bit-packed matrix (two bases per byte,
+    little-endian nibbles)."""
+    lib = get_lib()
+    L = mats[0].shape[1]
+    total = sum(m.shape[0] for m in mats)
+    out = np.empty((total, L // 8), np.uint32)
+    row = 0
+    for m in mats:
+        b = m.shape[0]
+        lib.pack_codes4(np.ascontiguousarray(m), b, L, out[row:row + b])
+        row += b
+    return out
 
 
 def minimizers32(codes: np.ndarray, k: int, w: int):

@@ -35,6 +35,28 @@ void encode_dna(const uint8_t* seq, int64_t n, int8_t* out) {
 }
 
 // ---------------------------------------------------------------------------
+// 4-bit base packing for device upload (ops/recruit.py pack_reads_host):
+// [n, l] int8 codes (0-4, l % 8 == 0) -> [n, l/8] uint32, little-endian
+// nibbles.  Halving the H2D bytes matters because transfers during
+// sustained kernel activity run at relay-queueing speed, not link
+// bandwidth (BENCH_NOTES round 4).
+// ---------------------------------------------------------------------------
+void pack_codes4(const int8_t* codes, int64_t n, int64_t l, uint32_t* out) {
+    const int64_t wpr = l / 8;
+    for (int64_t i = 0; i < n; i++) {
+        const uint8_t* s = (const uint8_t*)(codes + i * l);
+        uint32_t* d = out + i * wpr;
+        for (int64_t j = 0; j < wpr; j++) {
+            const uint8_t* p = s + j * 8;
+            d[j] = (uint32_t)(p[0] | (p[1] << 4))
+                 | ((uint32_t)(p[2] | (p[3] << 4)) << 8)
+                 | ((uint32_t)(p[4] | (p[5] << 4)) << 16)
+                 | ((uint32_t)(p[6] | (p[7] << 4)) << 24);
+        }
+    }
+}
+
+// ---------------------------------------------------------------------------
 // Canonical k-mers (seq/kmers.py canonical_kmers): out_kmer[i] = canonical
 // 2-bit packed k-mer at position i (UINT64_MAX when any base invalid),
 // out_valid[i] in {0,1}.  k <= 31.

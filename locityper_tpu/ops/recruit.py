@@ -584,13 +584,32 @@ def recruit_short_batch(cfg, reads, tbl_a, tbl_b):
     return _pack_decisions(has_rare & passed)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def recruit_pairs_batch(cfg, reads1, reads2, tbl_a, tbl_b):
-    """[B, n_loci] bool decisions for read pairs (strand-consistent joint
-    orientation, both mates must pass; recruit.rs:885-932).  Both mates run
-    as ONE [2B, L] counter pass (halves the fixed per-pass cost)."""
-    B = reads1.shape[0]
-    both = jnp.concatenate([reads1, reads2], axis=0)
+def pack_reads_host(*mats) -> np.ndarray:
+    """Host-side 4-bit base packing for H2D: [B, L] int8 code matrices
+    (codes 0-4, L a multiple of 8) -> ONE [sum(B), L/8] uint32 matrix,
+    two bases per byte, little-endian nibbles.  Halves the upload bytes
+    and collapses the per-batch device_put calls to one — H2D during
+    sustained kernel activity runs at relay-queueing speed, not link
+    bandwidth, so bytes on the wire dominate the recruit dispatch leg
+    (BENCH_NOTES round 4)."""
+    from .. import native
+    if native.available():
+        return native.pack_codes4(mats)       # ~8x the numpy pack speed
+    both = np.concatenate(mats, axis=0) if len(mats) > 1 else mats[0]
+    b = (both[:, 0::2] | (both[:, 1::2] << 4)).astype(np.uint8)
+    return np.ascontiguousarray(b).view(np.uint32)
+
+
+def _unpack_reads4(packed):
+    """Device inverse of pack_reads_host: [N, L/8] uint32 -> [N, L] int8."""
+    shifts = jnp.arange(8, dtype=jnp.uint32) * 4
+    nib = (packed[:, :, None] >> shifts) & jnp.uint32(0xF)
+    return nib.reshape(packed.shape[0], -1).astype(jnp.int8)
+
+
+def _pairs_decide(cfg, both, B, tbl_a, tbl_b):
+    """Decision body shared by the packed/unpacked pair entries:
+    both = [2B, L] codes (mate-1 rows then mate-2 rows)."""
     c, t = _mate_counters(both, cfg, tbl_a, tbl_b)
     c1, c2 = c[:B], c[B:]
     t1, t2 = t[:B], t[B:]
@@ -607,6 +626,24 @@ def recruit_pairs_batch(cfg, reads1, reads2, tbl_a, tbl_b):
     # inserts mate-2-only loci, recruit.rs:915-917).
     any1 = jnp.sum(c1, axis=-1) > 0
     return _pack_decisions((rare1 | rare2) & ok1 & ok2 & any1)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def recruit_pairs_batch(cfg, reads1, reads2, tbl_a, tbl_b):
+    """Packed [B, G] uint32 decisions for read pairs (strand-consistent
+    joint orientation, both mates must pass; recruit.rs:885-932).  Both
+    mates run as ONE [2B, L] counter pass (halves the fixed per-pass
+    cost)."""
+    both = jnp.concatenate([reads1, reads2], axis=0)
+    return _pairs_decide(cfg, both, reads1.shape[0], tbl_a, tbl_b)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def recruit_pairs_batch_packed(cfg, packed, tbl_a, tbl_b):
+    """recruit_pairs_batch on a pack_reads_host-packed [2B, L/8] uint32
+    batch (both mates in one upload; bit-identical decisions)."""
+    both = _unpack_reads4(packed)
+    return _pairs_decide(cfg, both, packed.shape[0] // 2, tbl_a, tbl_b)
 
 
 def _max_subarray(v):
@@ -719,6 +756,15 @@ def run_pairs_async(dev: DeviceIndex, reads1: np.ndarray,
                     reads2: np.ndarray):
     return recruit_pairs_batch(dev.cfg, jax.device_put(reads1),
                                jax.device_put(reads2), *dev.device_args())
+
+
+def run_pairs_async_packed(dev: DeviceIndex, reads1: np.ndarray,
+                           reads2: np.ndarray):
+    """run_pairs_async via the 4-bit packed single-upload path (half the
+    H2D bytes, one device_put per batch; bit-identical decisions)."""
+    packed = pack_reads_host(reads1, reads2)
+    return recruit_pairs_batch_packed(dev.cfg, jax.device_put(packed),
+                                      *dev.device_args())
 
 
 def run_long(dev: DeviceIndex, reads: np.ndarray, stretch_minims: int,

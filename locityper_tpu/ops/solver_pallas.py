@@ -274,17 +274,22 @@ def _prepare_chains(key, genotypes, attempts, hap_prob, hap_mid,
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "n_attempts", "max_windows", "random_init",
-                     "n_steps"))
+                     "n_steps", "tb"))
 def solve_genotypes_pallas(key, genotypes, hap_prob, hap_mid, unmapped_prob,
                            pack_nwin, pack_regstart, pack_len, gc_at,
                            weight_at, bayes, cfg: SolverConfig,
                            n_attempts: int, max_windows: int,
                            n_steps: int | None = None,
-                           random_init: bool = True):
+                           random_init: bool = True, tb: int = 128):
     """Pallas counterpart of ops.solver.solve_genotypes.
     Returns (liks [G, A], assignments [G, A, R] in PERMUTED slot space —
-    see _prepare_chains; use liks for ranking)."""
-    TB = 128
+    see _prepare_chains; use liks for ranking).
+
+    tb: chains per grid block (lane-block width).  Grid blocks run
+    SEQUENTIALLY on the core, so wider blocks trade per-step vector work
+    for fewer sequential passes — chip-measured in
+    extra/profile_solver_tb.py."""
+    TB = tb
     G = genotypes.shape[0]
     C = G * n_attempts
     pad = (-C) % TB

@@ -218,6 +218,26 @@ class TestDeviceRecruit:
             device = sorted(np.nonzero(got[i])[0].tolist())
             assert device == host, f"pair {i}: device={device} host={host}"
 
+    def test_packed_pairs_match_unpacked(self, world, index):
+        """The 4-bit single-upload path must be bit-identical to the
+        two-matrix path (pack_reads_host/_unpack_reads4 round-trip +
+        recruit_pairs_batch_packed)."""
+        from locityper_tpu.ops import recruit as R
+        rng, genome, locus, _, _, _ = world
+        dev = R.DeviceIndex.from_index(index)
+        reads = sim.simulate_paired_reads(
+            rng, [locus.haplotypes[i] for i in locus.true_genotype], depth=2)
+        n = min(60, len(reads.reads1))
+        m1 = self._batch(reads.reads1[:n])
+        m2 = self._batch(reads.reads2[:n])
+        m1[rng.integers(0, n, 20), rng.integers(0, 150, 20)] = 4  # Ns
+        packed = R.pack_reads_host(m1, m2)
+        both = np.asarray(R._unpack_reads4(packed))
+        assert np.array_equal(both, np.concatenate([m1, m2], axis=0))
+        a = np.asarray(R.run_pairs_async(dev, m1, m2))
+        b = np.asarray(R.run_pairs_async_packed(dev, m1, m2))
+        assert np.array_equal(a, b)
+
     def test_multilocus_device(self):
         from locityper_tpu.ops.recruit import DeviceIndex, run_short
         rng = np.random.default_rng(21)
