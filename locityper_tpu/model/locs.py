@@ -451,32 +451,57 @@ def run_align_batches(reads, lens, wins, score_vec, band,
             pending.append((res, n, False))
         else:
             import jax
-            # Explicit H2D: implicit numpy->jit transfers take a slow
-            # per-call path on relay-attached chips (BENCH_NOTES round 2).
-            res = A.align_batch_auto(jax.device_put(r), jax.device_put(ln),
-                                     jax.device_put(w), score_vec, band=band)
-            # Pack the 8 result vectors into ONE device buffer: each D2H
-            # fetch costs a full relay round-trip (~40 ms) regardless of
-            # size, so fetch once per phase, not 8x per batch.
-            pending.append((_pack_align_results(res), n, True))
-    packed = [p for p, _n, is_packed in pending if is_packed]
-    if packed:
-        import jax.numpy as jnp
-        host = np.asarray(jnp.concatenate(packed, axis=1))   # one D2H
+            # Combined 4-bit-packed upload (reads + windows + lens in ONE
+            # device_put at ~half the bytes) and an async prefetch of the
+            # packed [8, N] result: H2D/D2H during sustained kernel
+            # activity run at relay-queueing speed, so both bytes and
+            # per-fetch round-trips dominate the dispatch leg
+            # (BENCH_NOTES round 4, extra/profile_packed_h2d.py).
+            if r.shape[1] % 8 == 0 and w.shape[1] % 8 == 0:
+                comb = _pack_align_jobs_host(r, ln, w)
+                res = A.align_batch_packed(jax.device_put(comb), score_vec,
+                                           L=int(r.shape[1]),
+                                           W=int(w.shape[1]), band=band)
+            else:                       # odd band width: plain uploads
+                res = _pack_align_results(
+                    A.align_batch_auto(jax.device_put(r),
+                                       jax.device_put(ln),
+                                       jax.device_put(w), score_vec,
+                                       band=band))
+            res.copy_to_host_async()
+            pending.append((res, n, True))
     out: dict = {}
-    off = 0
     for res, n, is_packed in pending:
         if is_packed:
-            N = res.shape[1]
-            res = _unpack_align_results(host[:, off:off + N])
-            off += N
+            res = _unpack_align_results(np.asarray(res))
         for k, v in res.items():
             out.setdefault(k, []).append(np.asarray(v)[:n])
     return {k: np.concatenate(v) for k, v in out.items()}
 
 
-_ALIGN_KEYS = ("score", "start_p", "end_p", "n_mism", "n_ins", "n_del",
-               "n_clip", "valid")
+def _pack_align_jobs_host(r, ln, w) -> np.ndarray:
+    """[N, L/8 + W/8 + 1] uint32 combined upload buffer for
+    ops.align.align_batch_packed: 4-bit read nibbles, window nibbles,
+    then the read length (native pack; numpy fallback)."""
+    N, L = r.shape
+    W = w.shape[1]
+    rw, ww = L // 8, W // 8
+    comb = np.empty((N, rw + ww + 1), np.uint32)
+    from .. import native
+    if native.available():
+        native.pack_codes4_strided(r, comb, 0)
+        native.pack_codes4_strided(w, comb, rw)
+    else:
+        def nib(m):
+            b = (m[:, 0::2] | (m[:, 1::2] << 4)).astype(np.uint8)
+            return np.ascontiguousarray(b).view(np.uint32)
+        comb[:, :rw] = nib(r)
+        comb[:, rw:rw + ww] = nib(w)
+    comb[:, rw + ww] = ln.astype(np.uint32)
+    return comb
+
+
+_ALIGN_KEYS = A.ALIGN_RESULT_KEYS      # packed [8, N] result row order
 
 
 def _pack_align_results(res: dict):

@@ -53,6 +53,8 @@ def get_lib():
 
     lib.encode_dna.argtypes = [u8p, ctypes.c_int64, i8p]
     lib.pack_codes4.argtypes = [i8p, ctypes.c_int64, ctypes.c_int64, u32p]
+    lib.pack_codes4s.argtypes = [i8p, ctypes.c_int64, ctypes.c_int64, u32p,
+                                 ctypes.c_int64, ctypes.c_int64]
     lib.canonical_kmers.argtypes = [i8p, ctypes.c_int64, ctypes.c_int32,
                                     u64p, u8p, u8p]
     lib.minimizers32.argtypes = [i8p, ctypes.c_int64, ctypes.c_int32,
@@ -127,6 +129,16 @@ def pack_codes4(mats) -> np.ndarray:
         lib.pack_codes4(np.ascontiguousarray(m), b, L, out[row:row + b])
         row += b
     return out
+
+
+def pack_codes4_strided(mat: np.ndarray, out: np.ndarray,
+                        col_off: int) -> None:
+    """Pack [N, L] int8 codes 4-bit into out[:, col_off:col_off+L/8] of a
+    C-contiguous [N, stride] uint32 buffer (combined-upload assembly)."""
+    lib = get_lib()
+    n, L = mat.shape
+    lib.pack_codes4s(np.ascontiguousarray(mat), n, L, out, out.shape[1],
+                     col_off)
 
 
 def minimizers32(codes: np.ndarray, k: int, w: int):

@@ -41,19 +41,32 @@ void encode_dna(const uint8_t* seq, int64_t n, int8_t* out) {
 // sustained kernel activity run at relay-queueing speed, not link
 // bandwidth (BENCH_NOTES round 4).
 // ---------------------------------------------------------------------------
+static inline void pack_row4(const uint8_t* s, uint32_t* d, int64_t wpr) {
+    for (int64_t j = 0; j < wpr; j++) {
+        const uint8_t* p = s + j * 8;
+        d[j] = (uint32_t)(p[0] | (p[1] << 4))
+             | ((uint32_t)(p[2] | (p[3] << 4)) << 8)
+             | ((uint32_t)(p[4] | (p[5] << 4)) << 16)
+             | ((uint32_t)(p[6] | (p[7] << 4)) << 24);
+    }
+}
+
 void pack_codes4(const int8_t* codes, int64_t n, int64_t l, uint32_t* out) {
     const int64_t wpr = l / 8;
-    for (int64_t i = 0; i < n; i++) {
-        const uint8_t* s = (const uint8_t*)(codes + i * l);
-        uint32_t* d = out + i * wpr;
-        for (int64_t j = 0; j < wpr; j++) {
-            const uint8_t* p = s + j * 8;
-            d[j] = (uint32_t)(p[0] | (p[1] << 4))
-                 | ((uint32_t)(p[2] | (p[3] << 4)) << 8)
-                 | ((uint32_t)(p[4] | (p[5] << 4)) << 16)
-                 | ((uint32_t)(p[6] | (p[7] << 4)) << 24);
-        }
-    }
+    for (int64_t i = 0; i < n; i++)
+        pack_row4((const uint8_t*)(codes + i * l), out + i * wpr, wpr);
+}
+
+// Strided variant: row i of `codes` packs into
+// out[i * stride_words + col_off .. + l/8] — several matrices (reads,
+// windows) interleave into ONE combined upload buffer (model/locs.py
+// _pack_align_jobs_host).
+void pack_codes4s(const int8_t* codes, int64_t n, int64_t l, uint32_t* out,
+                  int64_t stride_words, int64_t col_off) {
+    const int64_t wpr = l / 8;
+    for (int64_t i = 0; i < n; i++)
+        pack_row4((const uint8_t*)(codes + i * l),
+                  out + i * stride_words + col_off, wpr);
 }
 
 // ---------------------------------------------------------------------------

@@ -210,6 +210,45 @@ def align_batch_auto(reads, rlens, hap_wins, score_vec, band: int = 48):
     return align_batch(reads, rlens, hap_wins, score_vec, band=band)
 
 
+#: Result-vector order of the packed [8, N] int32 kernel output
+#: (score is bitcast f32; model/locs.py unpacks on host).
+ALIGN_RESULT_KEYS = ("score", "start_p", "end_p", "n_mism", "n_ins",
+                     "n_del", "n_clip", "valid")
+
+
+@functools.partial(jax.jit, static_argnames=("L", "W", "band"))
+def align_batch_packed(comb, score_vec, L: int, W: int, band: int = 48):
+    """align_batch_auto on a combined 4-bit-packed upload, returning the
+    packed [8, N] int32 result matrix (ALIGN_RESULT_KEYS order).
+
+    comb: [N, L/8 + W/8 + 1] uint32 — read nibbles, window nibbles, then
+    the read length (model/locs.py _pack_align_jobs_host).  One upload at
+    ~half the bytes of (reads, lens, wins): H2D during sustained kernel
+    activity runs at relay-queueing speed, so bytes on the wire dominate
+    the align dispatch leg exactly as they did recruitment's
+    (BENCH_NOTES round 4)."""
+    rw, ww = L // 8, W // 8
+    shifts = jnp.arange(8, dtype=jnp.uint32) * 4
+
+    def unpack(p):
+        nib = (p[:, :, None] >> shifts) & jnp.uint32(0xF)
+        return nib.reshape(p.shape[0], -1).astype(jnp.int8)
+
+    reads = unpack(comb[:, :rw])
+    wins = unpack(comb[:, rw:rw + ww])
+    lens = comb[:, rw + ww].astype(jnp.int32)
+    res = align_batch_auto(reads, lens, wins, score_vec, band=band)
+    rows = []
+    for k in ALIGN_RESULT_KEYS:
+        v = res[k]
+        if v.dtype == jnp.float32:
+            v = jax.lax.bitcast_convert_type(v, jnp.int32)
+        else:
+            v = v.astype(jnp.int32)
+        rows.append(v)
+    return jnp.stack(rows)
+
+
 # ---------------------------------------------------------------------------
 # Host-side helpers: candidate windows and batched invocation.
 # ---------------------------------------------------------------------------

@@ -611,11 +611,15 @@ def _solve_panel_group(items: list, bg_distr, params: Params, scheme: Scheme,
     import jax
 
     n_loci = len(items)
+    t_c0 = time.monotonic()
     tensors, pack, offsets = _combine_panel(items)
     mul_coef = 2.0 if bg_distr.insert_distr.is_paired_end else 1.0
     bayes = build_bayes_table(bg_distr.depth.distributions,
                               list(params.alt_cn), mul_coef)
     dev_args = _device_solver_args(tensors, pack, bayes, mesh)
+    logger.debug("    combine+upload: %.2fs (R=%d, W=%d)",
+                 time.monotonic() - t_c0, tensors.n_reads,
+                 pack.max_windows)
 
     def write_sol(it, stage_ix, ix, score):
         if it.sol_writer is not None:
@@ -700,6 +704,7 @@ def _solve_panel_group(items: list, bg_distr, params: Params, scheme: Scheme,
         all_gts = np.concatenate(g_parts)
 
         n_gts = 0
+        t_disp = t_fetch = t_host = 0.0
         for s in range(0, all_gts.shape[0], gt_batch):
             chunk_rows = rows[s:s + gt_batch]
             gts = all_gts[s:s + gt_batch]
@@ -710,13 +715,18 @@ def _solve_panel_group(items: list, bg_distr, params: Params, scheme: Scheme,
             if pad:
                 gts = np.concatenate([gts, np.repeat(gts[-1:], pad, 0)])
             stage_key = jax.random.fold_in(key, s_ix * 100003 + s)
+            t_s0 = time.monotonic()
             if mesh is not None:
                 from ..parallel.mesh import sharded_stage_solver
                 liks, assgns = sharded_stage_solver(mesh, run_solver,
                                                     stage_key, gts)
             else:
                 liks, assgns = run_solver(stage_key, gts)
+            t_s1 = time.monotonic()
             host = np.asarray(_pack_solver_out(liks, assgns))
+            t_s2 = time.monotonic()
+            t_disp += t_s1 - t_s0
+            t_fetch += t_s2 - t_s1
             liks = host[..., 0].view(np.float32).astype(np.float64)
             final_stage = out_size is None
             if final_stage:
@@ -738,6 +748,8 @@ def _solve_panel_group(items: list, bg_distr, params: Params, scheme: Scheme,
                     "in %.2fs (%.4f s/gt)", s_ix + 1, stage.kind,
                     len(active), n_gts, stage.attempts, dt,
                     dt / max(n_gts, 1))
+        logger.debug("      dispatch %.2fs, fetch %.2fs, host %.2fs",
+                     t_disp, t_fetch, dt - t_disp - t_fetch)
         if out_size is not None:
             for li in active:
                 ixs_per[li] = discard_improbable(
