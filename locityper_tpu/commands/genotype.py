@@ -349,13 +349,15 @@ def recruit_reads(loci: dict, read_iter, recruit_params: RecruitParams,
     def flush_pairs(buf):
         if not buf:
             return
-        from ..ops.recruit import run_pairs_async
+        from ..ops.recruit import run_pairs_async_packed
         L = max(max(c1.size, c2.size) for _, c1, c2 in buf)
         L = -(-L // 64) * 64
         B = batch  # fixed batch shape; short flushes are padded
         m1 = _fill([c1 for _, c1, _ in buf], B, L)
         m2 = _fill([c2 for _, _, c2 in buf], B, L)
-        pending.append((list(buf), run_pairs_async(get_dev(), m1, m2), True))
+        res = run_pairs_async_packed(get_dev(), m1, m2)
+        res.copy_to_host_async()
+        pending.append((list(buf), res, True))
         buf.clear()
         resolve_pending()
 
@@ -366,7 +368,9 @@ def recruit_reads(loci: dict, read_iter, recruit_params: RecruitParams,
         L = max(c1.size for _, c1, _ in buf)
         L = -(-L // 64) * 64
         m1 = _fill([c1 for _, c1, _ in buf], batch, L)
-        pending.append((list(buf), run_short_async(get_dev(), m1), False))
+        res = run_short_async(get_dev(), m1)
+        res.copy_to_host_async()
+        pending.append((list(buf), res, False))
         buf.clear()
         resolve_pending()
 
@@ -381,8 +385,10 @@ def recruit_reads(loci: dict, read_iter, recruit_params: RecruitParams,
         for i, (_, c1, _) in enumerate(buf):
             m1[i, :c1.size] = c1
         p = index.params
-        pending.append((list(buf), run_long_async(
-            get_dev(), m1, p.stretch_minims, p.stretch_score), False))
+        res = run_long_async(get_dev(), m1, p.stretch_minims,
+                             p.stretch_score)
+        res.copy_to_host_async()
+        pending.append((list(buf), res, False))
         buf.clear()
         resolve_pending()
 
@@ -532,18 +538,22 @@ def _recruit_fast_pass(order, loci, dev, path1, path2, subsample, seed,
         names, m1, l1, m2, l2, count, keep, res = entry
         # Vectorized hit grouping (VERDICT r1 weak #1): non-recruited reads
         # cost zero Python; per-read work only for actual hits.  Decisions
-        # arrive as packed [B, G] uint32 bitmaps (D2H is 8-25x smaller).
+        # arrive as packed [B, G] uint32 bitmaps (D2H is 8-25x smaller),
+        # and only rows with ANY hit are unpacked — the any() test runs on
+        # the packed words directly (~3% of rows at panel scale).
         from ..ops.recruit import unpack_decisions
-        hits = unpack_decisions(res, len(order))[:count]
+        packed = np.asarray(res)[:count]
+        live = packed.any(axis=1)
         if keep is not None:
-            hits = hits & keep[:, None]
-        anyhit = hits.any(axis=1)
-        rec = int(anyhit.sum())
+            live &= keep
+        rows = np.nonzero(live)[0]
+        rec = int(rows.size)
         if rec:
+            hits = unpack_decisions(packed[rows], len(order))
             ri, li = np.nonzero(hits)
             cache = {int(i): (m1[i, :l1[i]].copy(), m2[i, :l2[i]].copy())
-                     for i in np.nonzero(anyhit)[0]}
-            for i, lx in zip(ri, li):
+                     for i in rows}
+            for i, lx in zip(rows[ri], li):
                 pairs, nms = out[order[lx]]
                 pairs.append(cache[int(i)])
                 nms.append(names[i])

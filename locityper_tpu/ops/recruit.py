@@ -552,8 +552,9 @@ def unpack_decisions(arr, n_loci: int) -> np.ndarray:
     arr = np.asarray(arr)
     if arr.dtype == np.bool_:
         return arr
-    bits = (arr[:, :, None] >> np.arange(32, dtype=np.uint32)) & 1
-    return bits.reshape(arr.shape[0], -1)[:, :n_loci].astype(bool)
+    bits = np.unpackbits(np.ascontiguousarray(arr).view(np.uint8), axis=1,
+                         bitorder="little")
+    return bits[:, :n_loci].view(np.bool_)
 
 
 def _numer_denoms(counts, total):
@@ -571,10 +572,7 @@ def _numer_denoms(counts, total):
     return fw_n, bw_n, fw_d, bw_d, has_rare
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def recruit_short_batch(cfg, reads, tbl_a, tbl_b):
-    """Packed [B, G] uint32 decisions for short single-end reads
-    (unpack_decisions for the bool view)."""
+def _short_decide(cfg, reads, tbl_a, tbl_b):
     counts, total = _mate_counters(reads, cfg, tbl_a, tbl_b)
     fw_n, bw_n, fw_d, bw_d, has_rare = _numer_denoms(counts, total)
     use_fw = fw_n >= bw_n
@@ -582,6 +580,20 @@ def recruit_short_batch(cfg, reads, tbl_a, tbl_b):
     denom = jnp.maximum(jnp.where(use_fw, fw_d, bw_d), 1)
     passed = numer * cfg.frac_q >= cfg.frac_p * denom
     return _pack_decisions(has_rare & passed)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def recruit_short_batch(cfg, reads, tbl_a, tbl_b):
+    """Packed [B, G] uint32 decisions for short single-end reads
+    (unpack_decisions for the bool view)."""
+    return _short_decide(cfg, reads, tbl_a, tbl_b)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def recruit_short_batch_packed(cfg, packed, tbl_a, tbl_b):
+    """recruit_short_batch on a pack_reads_host-packed [B, L/8] uint32
+    batch (half the upload bytes; bit-identical decisions)."""
+    return _short_decide(cfg, _unpack_reads4(packed), tbl_a, tbl_b)
 
 
 def pack_reads_host(*mats) -> np.ndarray:
@@ -667,11 +679,9 @@ def _max_subarray(v):
     return best[:, -1]
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "stretch_minims",
-                                             "stretch_score"))
-def recruit_long_batch(cfg, reads, tbl_a, tbl_b, stretch_minims: int,
-                       stretch_score: int):
-    """[B, n_loci] bool decisions for long single-end reads
+def _long_decide(cfg, reads, tbl_a, tbl_b, stretch_minims: int,
+                 stretch_score: int):
+    """[B, n_loci] decisions for long single-end reads
     (recruit.rs:966-997): rare-match fraction threshold + Kadane matching
     stretch, both evaluated for every locus at once on device.
     (tbl_a, tbl_b) are DeviceIndex.tables()."""
@@ -739,15 +749,43 @@ def recruit_long_batch(cfg, reads, tbl_a, tbl_b, stretch_minims: int,
     return _pack_decisions(frac_ok & stretch_ok)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "stretch_minims",
+                                             "stretch_score"))
+def recruit_long_batch(cfg, reads, tbl_a, tbl_b, stretch_minims: int,
+                       stretch_score: int):
+    """Packed [B, G] uint32 decisions for long single-end reads
+    (see _long_decide)."""
+    return _long_decide(cfg, reads, tbl_a, tbl_b, stretch_minims,
+                        stretch_score)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "stretch_minims",
+                                             "stretch_score"))
+def recruit_long_batch_packed(cfg, packed, tbl_a, tbl_b,
+                              stretch_minims: int, stretch_score: int):
+    """recruit_long_batch on a pack_reads_host-packed [B, L/8] uint32
+    batch (half the upload bytes — long reads are the biggest uploads)."""
+    return _long_decide(cfg, _unpack_reads4(packed), tbl_a, tbl_b,
+                        stretch_minims, stretch_score)
+
+
 def run_long_async(dev: DeviceIndex, reads: np.ndarray, stretch_minims: int,
                    stretch_score: int):
     """Dispatches and returns the device array (no host sync)."""
+    if reads.shape[1] % 8 == 0:
+        return recruit_long_batch_packed(
+            dev.cfg, jax.device_put(pack_reads_host(reads)),
+            *dev.device_args(), stretch_minims, stretch_score)
     return recruit_long_batch(dev.cfg, jax.device_put(reads),
                               *dev.device_args(), stretch_minims,
                               stretch_score)
 
 
 def run_short_async(dev: DeviceIndex, reads: np.ndarray):
+    if reads.shape[1] % 8 == 0:
+        return recruit_short_batch_packed(
+            dev.cfg, jax.device_put(pack_reads_host(reads)),
+            *dev.device_args())
     return recruit_short_batch(dev.cfg, jax.device_put(reads),
                                *dev.device_args())
 
