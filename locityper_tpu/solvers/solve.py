@@ -324,6 +324,22 @@ def _unpermute_assignments(assgns, gts, tensors, params):
     return out
 
 
+def _gt_chunks(total: int, cap: int, floor: int = 16) -> list:
+    """Chunk plan [(start, take, padded_size)] for a genotype list: full
+    cap-sized chunks, then a greedy DESCENDING-pow2 tail (min `floor`).
+    Shapes stay pow2-bucketed (one compile each); the tail split stops a
+    just-over-half tail from padding to the full cap."""
+    out = []
+    start = 0
+    while start < total:
+        rem = total - start
+        size = max(min(1 << (rem.bit_length() - 1), cap), floor)
+        take = min(size, rem)
+        out.append((start, take, size))
+        start += take
+    return out
+
+
 def _device_solver_args(tensors, pack, bayes, mesh):
     """The 9 array operands every stage call passes to the solver, made
     device-resident ONCE: as numpy they take the slow implicit-H2D path
@@ -440,19 +456,18 @@ def solve_locus(tensors: LocusTensors, pack: ContigInfoPack, bg_distr,
                     key_, gts_, *dev_args, cfg,
                     n_attempts=stage.attempts, max_windows=pack.max_windows,
                     random_init=random_init)
-        for s in range(0, ixs.size, gt_batch):
-            chunk = ixs[s:s + gt_batch]
-            # Pad genotype chunks to power-of-two buckets (min 16, and at
-            # least one genotype per device under a mesh) so the kernel
-            # compiles once per bucket regardless of panel size.
-            target = max(16, mesh.devices.size if mesh is not None else 0)
-            while target < chunk.size:
-                target *= 2
-            pad = target - chunk.size
+        # Two-phase chunk pipeline with a pow2 tail split (see
+        # _solve_panel_group): every chunk dispatches before the first
+        # fetch, with an async D2H prefetch riding the kernel queue.
+        floor = max(16, mesh.devices.size if mesh is not None else 16)
+        pend = []
+        for st, take, size in _gt_chunks(ixs.size, gt_batch, floor):
+            chunk = ixs[st:st + take]
             gts = genotypes[chunk]
-            if pad:
-                gts = np.concatenate([gts, np.repeat(gts[-1:], pad, 0)])
-            stage_key = jax.random.fold_in(key, s_ix * 100003 + s)
+            if size - take:
+                gts = np.concatenate(
+                    [gts, np.repeat(gts[-1:], size - take, 0)])
+            stage_key = jax.random.fold_in(key, s_ix * 100003 + st)
             if mesh is not None:
                 from ..parallel.mesh import sharded_stage_solver
                 liks, assgns = sharded_stage_solver(mesh, run_solver,
@@ -461,18 +476,23 @@ def solve_locus(tensors: LocusTensors, pack: ContigInfoPack, bg_distr,
                 liks, assgns = run_solver(stage_key, gts)
             # One D2H for both outputs (each fetch costs a flat relay
             # round-trip — BENCH_NOTES round 2).
-            host = np.asarray(_pack_solver_out(liks, assgns))
+            out_dev = _pack_solver_out(liks, assgns)
+            if hasattr(out_dev, "copy_to_host_async"):
+                out_dev.copy_to_host_async()
+            pend.append((chunk, out_dev))
+        final_stage = out_size is None
+        for chunk, out_dev in pend:
+            host = np.asarray(out_dev)
             liks = host[..., 0].view(np.float32).astype(np.float64)
-            final_stage = out_size is None
             if final_stage:
                 assgns = host[..., 1:]
                 if engine == "pallas":
                     # Pallas assignments live in the valid-first permuted
                     # slot space; map back to original candidate slots.
-                    assgns = _unpermute_assignments(assgns, genotypes[chunk],
+                    assgns = _unpermute_assignments(assgns,
+                                                    genotypes[chunk],
                                                     tensors, params)
-            if pad:
-                liks = liks[:chunk.size]
+            liks = liks[:chunk.size]
             for gi, (row, ix) in enumerate(zip(liks, chunk.tolist())):
                 row = row + priors[ix]
                 mean, var = mathx.mean_variance(row)
@@ -704,17 +724,21 @@ def _solve_panel_group(items: list, bg_distr, params: Params, scheme: Scheme,
         all_gts = np.concatenate(g_parts)
 
         n_gts = 0
-        t_disp = t_fetch = t_host = 0.0
-        for s in range(0, all_gts.shape[0], gt_batch):
-            chunk_rows = rows[s:s + gt_batch]
-            gts = all_gts[s:s + gt_batch]
-            target = max(16, mesh.devices.size if mesh is not None else 0)
-            while target < gts.shape[0]:
-                target *= 2
-            pad = target - gts.shape[0]
-            if pad:
-                gts = np.concatenate([gts, np.repeat(gts[-1:], pad, 0)])
-            stage_key = jax.random.fold_in(key, s_ix * 100003 + s)
+        t_disp = t_fetch = 0.0
+        floor = max(16, mesh.devices.size if mesh is not None else 16)
+        pend = []
+        # Two-phase chunk pipeline: dispatch EVERY chunk (the device
+        # queues them back to back) with an async D2H prefetch, then
+        # process in order — no per-chunk blocking round trip, and the
+        # pow2 tail split stops a 288-gt tail from padding to 512
+        # (+14 kernel blocks at 8 attempts; BENCH_NOTES round 4).
+        for st, take, size in _gt_chunks(all_gts.shape[0], gt_batch, floor):
+            chunk_rows = rows[st:st + take]
+            gts = all_gts[st:st + take]
+            if size - take:
+                gts = np.concatenate(
+                    [gts, np.repeat(gts[-1:], size - take, 0)])
+            stage_key = jax.random.fold_in(key, s_ix * 100003 + st)
             t_s0 = time.monotonic()
             if mesh is not None:
                 from ..parallel.mesh import sharded_stage_solver
@@ -722,13 +746,17 @@ def _solve_panel_group(items: list, bg_distr, params: Params, scheme: Scheme,
                                                     stage_key, gts)
             else:
                 liks, assgns = run_solver(stage_key, gts)
+            out_dev = _pack_solver_out(liks, assgns)
+            if hasattr(out_dev, "copy_to_host_async"):
+                out_dev.copy_to_host_async()
+            t_disp += time.monotonic() - t_s0
+            pend.append((chunk_rows, gts, out_dev))
+        final_stage = out_size is None
+        for chunk_rows, gts, out_dev in pend:
             t_s1 = time.monotonic()
-            host = np.asarray(_pack_solver_out(liks, assgns))
-            t_s2 = time.monotonic()
-            t_disp += t_s1 - t_s0
-            t_fetch += t_s2 - t_s1
+            host = np.asarray(out_dev)
+            t_fetch += time.monotonic() - t_s1
             liks = host[..., 0].view(np.float32).astype(np.float64)
-            final_stage = out_size is None
             if final_stage:
                 assgns = host[..., 1:]
                 if engine == "pallas":
