@@ -208,7 +208,9 @@ class MeshPairRecruiter:
     (tests/test_recruit.py::test_sharded_recruit_matches_single_device)."""
 
     def __init__(self, mesh: Mesh, dev):
-        from ..ops.recruit import recruit_pairs_batch
+        import jax.numpy as jnp
+
+        from ..ops.recruit import _pairs_decide, _unpack_reads4
 
         self.mesh = mesh
         repl = jax.sharding.NamedSharding(mesh, P())
@@ -216,8 +218,12 @@ class MeshPairRecruiter:
         self._in_shard = jax.sharding.NamedSharding(mesh, P(("read", "gt")))
         cfg = dev.cfg
 
-        def local(r1, r2, ta, tb):
-            return recruit_pairs_batch(cfg, r1, r2, ta, tb)
+        def local(p1, p2, ta, tb):
+            # 4-bit packed per-mate uploads (half the H2D bytes —
+            # BENCH_NOTES round 4); mates stay row-aligned per shard.
+            both = jnp.concatenate([_unpack_reads4(p1), _unpack_reads4(p2)],
+                                   axis=0)
+            return _pairs_decide(cfg, both, p1.shape[0], ta, tb)
 
         self._fn = jax.jit(shard_map(
             local, mesh=mesh,
@@ -226,6 +232,7 @@ class MeshPairRecruiter:
 
     def run_async(self, reads1: np.ndarray, reads2: np.ndarray):
         """[B, L] batches -> async [B, n_groups] hit bitmaps."""
+        from ..ops.recruit import pack_reads_host
         n = self.mesh.devices.size
         B = reads1.shape[0]
         pad = (-B) % n
@@ -234,9 +241,9 @@ class MeshPairRecruiter:
                 [reads1, np.full((pad, reads1.shape[1]), 4, reads1.dtype)])
             reads2 = np.concatenate(
                 [reads2, np.full((pad, reads2.shape[1]), 4, reads2.dtype)])
-        r1 = jax.device_put(reads1, self._in_shard)
-        r2 = jax.device_put(reads2, self._in_shard)
-        return self._fn(r1, r2, *self._tables)[:B]
+        p1 = jax.device_put(pack_reads_host(reads1), self._in_shard)
+        p2 = jax.device_put(pack_reads_host(reads2), self._in_shard)
+        return self._fn(p1, p2, *self._tables)[:B]
 
 
 def full_step(mesh: Mesh, key, tensors, pack, bayes, genotypes, priors,
