@@ -196,7 +196,7 @@ def _permute_k(x, vorder):
 def _prepare_chains(key, genotypes, attempts, hap_prob, hap_mid,
                     unmapped_prob, pack_nwin, pack_regstart, pack_len, gc_at,
                     weight_at, bayes, cfg: SolverConfig, max_windows: int,
-                    random_init: bool):
+                    random_init: bool, k_eff: int | None = None):
     """Builds per-chain tensors (XLA, one-time per stage).
 
     Split in two vmaps: the expensive candidate gather/permute depends only
@@ -216,6 +216,14 @@ def _prepare_chains(key, genotypes, attempts, hap_prob, hap_mid,
         mids_p = jnp.stack([_permute_k(mids[..., 0], vorder),
                             _permute_k(mids[..., 1], vorder)], axis=-1)
         slots_p = _permute_k(slots, vorder)
+        if k_eff is not None and k_eff < probs_p.shape[-1]:
+            # Valid-first permutation: every valid candidate sits below
+            # the host-computed cap (solve.py _candidate_k_cap), so the
+            # dropped tail is all-NEG padding — bit-identical walks with
+            # a smaller per-step candidate loop and VMEM feed.
+            probs_p = probs_p[:, :k_eff]
+            mids_p = mids_p[:, :k_eff]
+            slots_p = slots_p[:, :k_eff]
         nontrivial = vcount > 1
         ntc = jnp.maximum(jnp.sum(nontrivial), 1).astype(jnp.int32)
         nt_ixs = jnp.argsort(~nontrivial, stable=True).astype(jnp.int32)
@@ -274,13 +282,14 @@ def _prepare_chains(key, genotypes, attempts, hap_prob, hap_mid,
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "n_attempts", "max_windows", "random_init",
-                     "n_steps", "tb"))
+                     "n_steps", "tb", "k_eff"))
 def solve_genotypes_pallas(key, genotypes, hap_prob, hap_mid, unmapped_prob,
                            pack_nwin, pack_regstart, pack_len, gc_at,
                            weight_at, bayes, cfg: SolverConfig,
                            n_attempts: int, max_windows: int,
                            n_steps: int | None = None,
-                           random_init: bool = True, tb: int = 128):
+                           random_init: bool = True, tb: int = 128,
+                           k_eff: int | None = None):
     """Pallas counterpart of ops.solver.solve_genotypes.
     Returns (liks [G, A], assignments [G, A, R] in PERMUTED slot space —
     see _prepare_chains; use liks for ranking).
@@ -300,7 +309,7 @@ def solve_genotypes_pallas(key, genotypes, hap_prob, hap_mid, unmapped_prob,
      cache0) = _prepare_chains(
         kp, genotypes, n_attempts, hap_prob, hap_mid, unmapped_prob,
         pack_nwin, pack_regstart, pack_len, gc_at, weight_at, bayes, cfg,
-        max_windows, random_init)
+        max_windows, random_init, k_eff=k_eff)
     if pad:
         def padc(x):
             return jnp.concatenate(

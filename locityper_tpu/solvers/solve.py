@@ -340,6 +340,27 @@ def _gt_chunks(total: int, cap: int, floor: int = 16) -> list:
     return out
 
 
+def _candidate_k_cap(tensors, ploidy: int) -> int | None:
+    """Static cap on live candidate slots for the Pallas solver's
+    valid-first-permuted feeds: every read has at most `max_v` non-NEG
+    slots per haplotype (host count over tensors.hap_prob — an upper
+    bound on _gather_candidates' post-prob_diff valid set), so after the
+    valid-first permutation all live candidates sit below
+    P*max_v + 1.  Slicing there shrinks the kernel's per-step candidate
+    loop and VMEM feed bit-identically (the PRNG stream is K-free).
+    Bucketed to {5, 9, 17} to bound compile shapes; None = no win."""
+    from ..ops.solver import NEG
+    k_full = ploidy * tensors.kh + 1
+    if tensors.hap_prob.size == 0:
+        return None
+    max_v = int((np.asarray(tensors.hap_prob) > NEG / 2).sum(axis=2).max())
+    k_eff = ploidy * max_v + 1
+    for b in (5, 9, 17):
+        if k_eff <= b < k_full:
+            return b
+    return None
+
+
 def _device_solver_args(tensors, pack, bayes, mesh):
     """The 9 array operands every stage call passes to the solver, made
     device-resident ONCE: as numpy they take the slow implicit-H2D path
@@ -435,13 +456,14 @@ def solve_locus(tensors: LocusTensors, pack: ContigInfoPack, bg_distr,
         )
         if engine == "pallas":
             from ..ops.solver_pallas import solve_genotypes_pallas
+            k_cap = _candidate_k_cap(tensors, int(genotypes.shape[-1]))
 
             def run_solver(key_, gts_):
                 return solve_genotypes_pallas(
                     key_, gts_, *dev_args, cfg,
                     n_attempts=stage.attempts, max_windows=pack.max_windows,
                     n_steps=cfg.anneal_steps + cfg.polish_steps,
-                    random_init=random_init)
+                    random_init=random_init, k_eff=k_cap)
         elif engine == "batched":
             from ..ops.solver_batched import solve_genotypes_batched
 
@@ -692,13 +714,15 @@ def _solve_panel_group(items: list, bg_distr, params: Params, scheme: Scheme,
         )
         if engine == "pallas":
             from ..ops.solver_pallas import solve_genotypes_pallas
+            k_cap = _candidate_k_cap(
+                tensors, int(items[0].genotypes.shape[-1]))
 
             def run_solver(key_, gts_):
                 return solve_genotypes_pallas(
                     key_, gts_, *dev_args, cfg,
                     n_attempts=stage.attempts, max_windows=pack.max_windows,
                     n_steps=cfg.anneal_steps + cfg.polish_steps,
-                    random_init=random_init)
+                    random_init=random_init, k_eff=k_cap)
         elif engine == "batched":
             from ..ops.solver_batched import solve_genotypes_batched
 
