@@ -586,8 +586,13 @@ def _recruit_fast_pass(order, loci, dev, path1, path2, subsample, seed,
             return
         scatter(entry)
 
-    for names, m1, l1, m2, l2, count in fast_paired_batches(
-            path1, path2, batch=batch, max_len=max_len):
+    from ..utils.io import prefetch_iter
+    # Parse in a background thread (zlib + the native parser release the
+    # GIL): batch N+1 decompresses/parses while this thread scatters N-1,
+    # packs N and feeds the device (BENCH_NOTES round 4).
+    for names, m1, l1, m2, l2, count in prefetch_iter(
+            fast_paired_batches(path1, path2, batch=batch,
+                                max_len=max_len), depth=2):
         keep = (rng.random(count) < subsample) if subsample is not None             else None
         if first_scatter[0] is None and not pending:
             first_scatter[0] = _time.perf_counter()

@@ -19,6 +19,53 @@ from pathlib import Path
 SUCCESS = "success"
 
 
+def prefetch_iter(gen, depth: int = 2):
+    """Runs a generator in a background thread, keeping up to `depth`
+    items ready: decompression + native parsing release the GIL, so the
+    producer genuinely overlaps the consumer's scatter/pack/dispatch work
+    (the recruitment host legs — BENCH_NOTES round 4).  Exceptions
+    (e.g. fastx.MaxLenExceeded) re-raise in the consumer."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=max(depth, 1))
+    _END, _ERR = object(), object()
+    stop = [False]
+
+    def _put(item) -> bool:
+        while not stop[0]:
+            try:
+                q.put(item, timeout=0.5)
+                return True
+            except queue.Full:
+                continue
+        return False
+
+    def worker():
+        try:
+            for item in gen:
+                if not _put(item):
+                    return
+        except BaseException as exc:      # noqa: BLE001 — re-raised below
+            _put((_ERR, exc))
+            return
+        _put(_END)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                return
+            if (isinstance(item, tuple) and len(item) == 2
+                    and item[0] is _ERR):
+                raise item[1]
+            yield item
+    finally:
+        stop[0] = True
+
+
 def smart_open(path):
     """Opens a text file for reading; transparently handles .gz (by magic bytes)."""
     path = Path(path)
