@@ -18,7 +18,7 @@ from locityper_tpu.bg.err_prof import EditDistCache, EditThresh
 from locityper_tpu.model import Params
 from locityper_tpu.model.locs import (HapMinimizerIndex, UniqueKmers,
                                       _align_candidates, build_all_alignments)
-from locityper_tpu.pipeline import LocusData, estimate_bg_from_sim, genotype_locus
+from locityper_tpu.pipeline import LocusData, estimate_bg_from_reads, genotype_locus
 from locityper_tpu.seq.contigs import ContigSet
 from locityper_tpu.seq.counts import GenomeKmerCounter, KmerCounts
 from locityper_tpu.seq.recruit import RecruitParams, TargetIndex
@@ -47,7 +47,7 @@ def build_world(n_reads=8000, n_haps=8, length=6000, seed=0):
     names = reads.names[:n_reads]
     bg_reads = sim.simulate_paired_reads(rng, [genome[:50_000]], depth=25.0,
                                          errors=err, prefix="bg")
-    bg = estimate_bg_from_sim(bg_reads.reads1, bg_reads.reads2,
+    bg = estimate_bg_from_reads(bg_reads.reads1, bg_reads.reads2,
                               genome[:50_000], counter,
                               Technology.ILLUMINA)
     return cset, kc, pairs, names, bg, counter

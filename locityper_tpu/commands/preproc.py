@@ -12,7 +12,7 @@ from pathlib import Path
 import numpy as np
 
 from ..bg import Technology
-from ..pipeline import estimate_bg_from_sim
+from ..pipeline import estimate_bg_from_reads
 from ..seq import fastx
 from ..seq.counts import GenomeKmerCounter
 from ..utils import paths
@@ -477,7 +477,7 @@ def run(args):
         frac_windows=args.frac_windows,
         min_tail_obs=int(args.blur_extreme[0]),
         tail_var_mult=float(args.blur_extreme[1]))
-    bg = estimate_bg_from_sim(reads1, reads2, region, counter, tech,
+    bg = estimate_bg_from_reads(reads1, reads2, region, counter, tech,
                               window_size=args.window,
                               depth_params=depth_params,
                               debug_dir=bg_dir if args.debug else None,

@@ -317,7 +317,7 @@ def _write_read_pairs_csv(out_dir, contig_set, all_alns) -> None:
                         f"{c.ln_prob:.3f}\t{c.middle1}\t{c.middle2}\n")
 
 
-def estimate_bg_from_sim(reads1, reads2, region_seq, region_counter,
+def estimate_bg_from_reads(reads1, reads2, region_seq, region_counter,
                          technology, window_size=None,
                          depth_params=None, seed=0,
                          debug_dir=None, subsampling_rate: float = 1.0,
