@@ -280,6 +280,27 @@ def _leave_out(data: LocusData, names: set, tag: str) -> LocusData:
     return LocusData(cs, kc, dist)
 
 
+def _locus_cost_estimate(db: Path, name: str) -> float:
+    """Cheap per-locus cost proxy for multi-host LPT sharding: genotype
+    count (~H^2/2 at diploid) x mean haplotype length, read from the
+    haplotype FASTA headers/line lengths without building the locus.
+    Falls back to 1.0 (uniform) when unreadable."""
+    fa = Path(db) / paths.LOCI_DIR / name / paths.HAPLOTYPES
+    try:
+        n_haps, total = 0, 0
+        with gzip.open(fa, "rt") as f:
+            for line in f:
+                if line.startswith(">"):
+                    n_haps += 1
+                else:
+                    total += len(line) - 1
+        if n_haps == 0:
+            return 1.0
+        return (n_haps * (n_haps + 1) / 2.0) * (total / n_haps)
+    except OSError:
+        return 1.0
+
+
 def list_loci(db: Path) -> list[str]:
     loci_dir = Path(db) / paths.LOCI_DIR
     return sorted(d.name for d in loci_dir.iterdir()
@@ -806,11 +827,17 @@ def _run(args):
     tech = bg.seq_info.technology
     _check_params_staleness(args, out, rerun)
 
-    # Multi-host: loci shard round-robin across processes (no DCN traffic;
+    # Multi-host: loci shard across processes (no DCN traffic;
     # parallel/multihost.py); chips within a host shard via the mesh.
+    # Cost-weighted LPT partition: per-locus wall time is dominated by
+    # genotype count x haplotype length (align + solve legs), so a panel
+    # mixing 6-hap and 300-hap loci no longer leaves round-robin
+    # stragglers (genotype.rs:1278-1298 outer loop).
     from ..parallel.multihost import maybe_init_distributed, shard_loci
-    maybe_init_distributed()
-    locus_names = shard_loci(args.loci if args.loci else list_loci(db))
+    multi = maybe_init_distributed()
+    all_names = args.loci if args.loci else list_loci(db)
+    costs = [_locus_cost_estimate(db, n) for n in all_names] if multi else None
+    locus_names = shard_loci(all_names, costs)
     loci = {}
     todo = []
     for name in locus_names:

@@ -569,6 +569,51 @@ class TestMultihost:
         monkeypatch.setattr(jax, "process_index", lambda: 1)
         assert mh.shard_loci(list("abcdefg")) == ["b", "e"]
 
+    def test_lpt_straggler_balance(self):
+        """Strongly uneven per-locus costs (one HLA-class straggler among
+        cheap loci — VERDICT r4 weak item 5): LPT keeps the max host load
+        within the 4/3 bound of optimal, where round-robin can be ~n x
+        worse."""
+        from locityper_tpu.parallel.multihost import lpt_assign
+        costs = [1000.0] + [10.0] * 15
+        for n in (2, 4):
+            bins = lpt_assign(costs, n)
+            loads = [sum(c for c, b in zip(costs, bins) if b == j)
+                     for j in range(n)]
+            opt = max(max(costs), sum(costs) / n)
+            assert max(loads) <= (4 / 3) * opt
+            # The straggler's host gets few (or no) other loci.
+            straggler_host = bins[0]
+            assert sum(b == straggler_host for b in bins) <= 2
+            # Every locus is assigned to exactly one valid host.
+            assert len(bins) == len(costs)
+            assert all(0 <= b < n for b in bins)
+
+    def test_lpt_deterministic_and_rr_on_equal_costs(self, monkeypatch):
+        import jax
+        from locityper_tpu.parallel import multihost as mh
+        assert mh.lpt_assign([5.0] * 6, 2) == [0, 1, 0, 1, 0, 1]
+        assert mh.lpt_assign([3.0, 1.0, 2.0], 2) == mh.lpt_assign(
+            [3.0, 1.0, 2.0], 2)
+        monkeypatch.setattr(jax, "process_count", lambda: 2)
+        monkeypatch.setattr(jax, "process_index", lambda: 0)
+        got0 = mh.shard_loci(list("abcd"), costs=[9.0, 1.0, 1.0, 1.0])
+        monkeypatch.setattr(jax, "process_index", lambda: 1)
+        got1 = mh.shard_loci(list("abcd"), costs=[9.0, 1.0, 1.0, 1.0])
+        assert sorted(got0 + got1) == list("abcd")
+        assert got0 == ["a"] and got1 == ["b", "c", "d"]
+
+    def test_locus_cost_estimate(self, tmp_path):
+        import gzip as _gz
+        from locityper_tpu.commands.genotype import _locus_cost_estimate
+        d = tmp_path / "loci" / "L"
+        d.mkdir(parents=True)
+        with _gz.open(d / "haplotypes.fa.gz", "wt") as f:
+            f.write(">h1\n" + "A" * 100 + "\n>h2\n" + "C" * 300 + "\n")
+        cost = _locus_cost_estimate(tmp_path, "L")
+        assert cost == pytest.approx(2 * 3 / 2 * 200)
+        assert _locus_cost_estimate(tmp_path, "MISSING") == 1.0
+
 
 def test_stop_after_map_writes_bam(world, db, prep, tmp_path):
     """--stop-after map also writes real BAM (genotype.rs:1023-1074 aln.bam)
