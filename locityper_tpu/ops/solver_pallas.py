@@ -62,7 +62,15 @@ def _kernel(seed_ref, cool_ref, probs_ref, winpk_ref, vcount_ref, nt_ref,
             ntc_ref, wtabf_ref, assgn0_ref, depth0_ref, cache0_ref,
             lik_out, assgn_out,
             *, R: int, K: int, W: int, TB: int, n_steps: int,
-            anneal_steps: int, dc: float, ac: float, D_TAB: int):
+            anneal_steps: int, dc: float, ac: float, D_TAB: int,
+            plato: int = 0, ln_init_prob: float = -0.6931472):
+    """plato > 0 enables the reference's plateau semantics
+    (stoch.rs:196-240): a per-lane counter of consecutive non-accepted
+    (anneal phase) / non-improving (polish phase) moves freezes a lane at
+    `plato` and the whole block exits early once every lane is frozen.
+    Likelihood diffs within min_diff = 1e-6·max|Δ| count as float noise
+    (minimum_allowed_diff, stoch.rs:27-29; 1e-6 not 1e-10 — the kernel
+    accumulates in f32).  plato = 0 keeps the fixed-step walk."""
     pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
     iota_r = jax.lax.broadcasted_iota(jnp.int32, (R, TB), 0)
     iota_w = jax.lax.broadcasted_iota(jnp.int32, (W, TB), 0)
@@ -83,8 +91,13 @@ def _kernel(seed_ref, cool_ref, probs_ref, winpk_ref, vcount_ref, nt_ref,
     def sel_rf(arr2, r):
         return jnp.sum(jnp.where(iota_r == r, arr2, 0.0), axis=0)[None, :]
 
+    # Per-lane float-noise floor (stoch.rs:27-29): start_temp was set as
+    # -max_abs / ln(init_prob), so max_abs = start_temp * (-ln_init_prob).
+    min_diff = jnp.maximum(start_temp * jnp.float32(-ln_init_prob) * 1e-6,
+                           1e-10) if plato else jnp.zeros_like(start_temp)
+
     def step(s, carry):
-        assgn, depth, cache = carry
+        assgn, depth, cache, stale = carry
         t = _randint((1, TB), ntc)
         r = sel_r(nt_ref[:], t)
         rmask = iota_r == r
@@ -147,8 +160,23 @@ def _kernel(seed_ref, cool_ref, probs_ref, winpk_ref, vcount_ref, nt_ref,
         s_rem = jnp.maximum(anneal_steps - s, 0).astype(jnp.float32)
         temp = start_temp * s_rem / max(anneal_steps, 1)
         u = _u01((1, TB))
-        metro = (temp > 0) & (u <= jnp.exp(delta / jnp.maximum(temp, 1e-30)))
-        accept = (delta >= 0) | metro
+        if plato:
+            # Reference accept rules (stoch.rs:211-240): anneal phase
+            # tests delta - min_diff (>= 0 or Metropolis); polish phase
+            # accepts strictly improving moves only.  Frozen lanes
+            # (stale >= plato) stop moving but keep drawing in lockstep.
+            diffm = delta - min_diff
+            metro = (temp > 0) & (u <= jnp.exp(
+                diffm / jnp.maximum(temp, 1e-30)))
+            in_anneal = s < anneal_steps
+            acc_phase = jnp.where(in_anneal, (diffm >= 0) | metro,
+                                  delta > min_diff)
+            accept = acc_phase & (stale < plato)
+            stale = jnp.where(accept, 0, stale + 1)
+        else:
+            metro = (temp > 0) & (u <= jnp.exp(
+                delta / jnp.maximum(temp, 1e-30)))
+            accept = (delta >= 0) | metro
         inc = jnp.where(accept, 1, 0)
 
         depth = depth + ((iota_w == w3).astype(jnp.int32)
@@ -159,10 +187,32 @@ def _kernel(seed_ref, cool_ref, probs_ref, winpk_ref, vcount_ref, nt_ref,
             upd = (iota_w == w) & accept & (c != 0)
             cache = jnp.where(upd, nv, cache)
         assgn = jnp.where(rmask & accept, new, assgn)
-        return assgn, depth, cache
+        return assgn, depth, cache, stale
 
-    assgn, depth, cache = jax.lax.fori_loop(
-        0, n_steps, step, (assgn, depth, cache))
+    stale0 = jnp.zeros((1, TB), jnp.int32)
+    if plato:
+        # Block-level early exit: once EVERY lane in the block is frozen
+        # (or the step budget is spent) the remaining steps are no-ops —
+        # stop paying for them.  Grid blocks exit independently.
+        def w_cond(carry):
+            s, _, _, _, stale = carry
+            return jnp.logical_and(s < n_steps, jnp.min(stale) < plato)
+
+        def w_body(carry):
+            s, assgn, depth, cache, stale = carry
+            assgn, depth, cache, stale = step(s, (assgn, depth, cache,
+                                                  stale))
+            return s + 1, assgn, depth, cache, stale
+
+        _, assgn, depth, cache, _ = jax.lax.while_loop(
+            w_cond, w_body, (jnp.int32(0), assgn, depth, cache, stale0))
+    else:
+        def f_body(s, carry):
+            assgn, depth, cache, stale = carry
+            return step(s, (assgn, depth, cache, stale))
+
+        assgn, depth, cache, _ = jax.lax.fori_loop(
+            0, n_steps, f_body, (assgn, depth, cache, stale0))
 
     # Final likelihood from the end state: depth part = Σ cache (cache holds
     # the exact current table value per window); aln part looped over reads.
@@ -282,14 +332,14 @@ def _prepare_chains(key, genotypes, attempts, hap_prob, hap_mid,
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "n_attempts", "max_windows", "random_init",
-                     "n_steps", "tb", "k_eff"))
+                     "n_steps", "tb", "k_eff", "plato"))
 def solve_genotypes_pallas(key, genotypes, hap_prob, hap_mid, unmapped_prob,
                            pack_nwin, pack_regstart, pack_len, gc_at,
                            weight_at, bayes, cfg: SolverConfig,
                            n_attempts: int, max_windows: int,
                            n_steps: int | None = None,
                            random_init: bool = True, tb: int = 128,
-                           k_eff: int | None = None):
+                           k_eff: int | None = None, plato: int = 0):
     """Pallas counterpart of ops.solver.solve_genotypes.
     Returns (liks [G, A], assignments [G, A, R] in PERMUTED slot space —
     see _prepare_chains; use liks for ranking).
@@ -339,7 +389,9 @@ def solve_genotypes_pallas(key, genotypes, hap_prob, hap_mid, unmapped_prob,
     kernel = functools.partial(
         _kernel, R=R, K=K, W=W, TB=TB, n_steps=n_steps,
         anneal_steps=cfg.anneal_steps, dc=float(cfg.depth_contrib),
-        ac=float(cfg.aln_contrib), D_TAB=D_TAB)
+        ac=float(cfg.aln_contrib), D_TAB=D_TAB,
+        plato=(plato if plato and plato < n_steps else 0),
+        ln_init_prob=float(np.log(cfg.init_prob)))
     grid = (Cp // TB,)
 
     def vspec(rows):

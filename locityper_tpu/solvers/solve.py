@@ -207,6 +207,18 @@ def run_filter(genotypes: np.ndarray, priors: np.ndarray,
     return select_by_scores(scores, filt_diff, out_size)
 
 
+def _stage_plato(stage: Stage) -> int:
+    """Plateau budget (in kernel steps) for the Pallas chains-in-lanes
+    walk.  Anneal stages: the reference's plato_size equals the polish
+    budget (stoch.rs:164-167, the `p=` parameter sets both here).  Greedy
+    stages: the reference counts ITERATIONS of `sample` examined reads
+    (stoch.rs:95-133), so its plateau of `plato` iterations corresponds to
+    plato x sample single-read steps of the polish walk."""
+    if stage.kind == "anneal":
+        return int(stage.polish_steps)
+    return int(stage.plato) * max(int(stage.sample), 1)
+
+
 _PACK_CACHE = {}
 
 
@@ -457,13 +469,15 @@ def solve_locus(tensors: LocusTensors, pack: ContigInfoPack, bg_distr,
         if engine == "pallas":
             from ..ops.solver_pallas import solve_genotypes_pallas
             k_cap = _candidate_k_cap(tensors, int(genotypes.shape[-1]))
+            plato_steps = _stage_plato(stage)
 
             def run_solver(key_, gts_):
                 return solve_genotypes_pallas(
                     key_, gts_, *dev_args, cfg,
                     n_attempts=stage.attempts, max_windows=pack.max_windows,
                     n_steps=cfg.anneal_steps + cfg.polish_steps,
-                    random_init=random_init, k_eff=k_cap)
+                    random_init=random_init, k_eff=k_cap,
+                    plato=plato_steps)
         elif engine == "batched":
             from ..ops.solver_batched import solve_genotypes_batched
 
@@ -716,13 +730,15 @@ def _solve_panel_group(items: list, bg_distr, params: Params, scheme: Scheme,
             from ..ops.solver_pallas import solve_genotypes_pallas
             k_cap = _candidate_k_cap(
                 tensors, int(items[0].genotypes.shape[-1]))
+            plato_steps = _stage_plato(stage)
 
             def run_solver(key_, gts_):
                 return solve_genotypes_pallas(
                     key_, gts_, *dev_args, cfg,
                     n_attempts=stage.attempts, max_windows=pack.max_windows,
                     n_steps=cfg.anneal_steps + cfg.polish_steps,
-                    random_init=random_init, k_eff=k_cap)
+                    random_init=random_init, k_eff=k_cap,
+                    plato=plato_steps)
         elif engine == "batched":
             from ..ops.solver_batched import solve_genotypes_batched
 
