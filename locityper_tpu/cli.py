@@ -13,10 +13,21 @@ from .utils.logging import setup_logging
 
 def _enable_compile_cache():
     """Persistent XLA compilation cache: TPU kernel compiles (which can take
-    minutes through remote-compile setups) are reused across runs."""
+    minutes through remote-compile setups) are reused across runs.
+
+    CPU backends are excluded: XLA's CPU cache key does not fingerprint
+    the host machine type, so entries compiled on a different VM replay
+    with 'machine type ... doesn't match' errors (seen round 5) — and CPU
+    compiles are fast anyway."""
     import os
     try:
         import jax
+        # Read the pinned platform WITHOUT initializing the backend
+        # (jax.default_backend() here would break the later
+        # jax.distributed.initialize in multi-process runs).
+        platforms = jax.config.jax_platforms or ""
+        if platforms.split(",")[0] == "cpu":
+            return
         cache = os.environ.get("LOCITYPER_JAX_CACHE",
                                os.path.expanduser("~/.cache/locityper_jax"))
         os.makedirs(cache, exist_ok=True)

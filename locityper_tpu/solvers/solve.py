@@ -510,17 +510,21 @@ def solve_locus(tensors: LocusTensors, pack: ContigInfoPack, bg_distr,
                                                     stage_key, gts)
             else:
                 liks, assgns = run_solver(stage_key, gts)
-            # One D2H for both outputs (each fetch costs a flat relay
-            # round-trip — BENCH_NOTES round 2).
-            out_dev = _pack_solver_out(liks, assgns)
+            # Final stage: one packed D2H for both outputs (each fetch
+            # costs a flat relay round-trip — BENCH_NOTES round 2).
+            # Non-final stages only rank by likelihood, so the [G, A, R]
+            # assignments stay on device (at HLA scale R is thousands —
+            # the packed fetch would move ~40 MB/locus for nothing).
+            final_stage = out_size is None
+            out_dev = (_pack_solver_out(liks, assgns) if final_stage
+                       else liks)
             if hasattr(out_dev, "copy_to_host_async"):
                 out_dev.copy_to_host_async()
             pend.append((chunk, out_dev))
-        final_stage = out_size is None
         for chunk, out_dev in pend:
             host = np.asarray(out_dev)
-            liks = host[..., 0].view(np.float32).astype(np.float64)
             if final_stage:
+                liks = host[..., 0].view(np.float32).astype(np.float64)
                 assgns = host[..., 1:]
                 if engine == "pallas":
                     # Pallas assignments live in the valid-first permuted
@@ -528,6 +532,8 @@ def solve_locus(tensors: LocusTensors, pack: ContigInfoPack, bg_distr,
                     assgns = _unpermute_assignments(assgns,
                                                     genotypes[chunk],
                                                     tensors, params)
+            else:
+                liks = host.astype(np.float64)
             liks = liks[:chunk.size]
             for gi, (row, ix) in enumerate(zip(liks, chunk.tolist())):
                 row = row + priors[ix]
@@ -786,22 +792,27 @@ def _solve_panel_group(items: list, bg_distr, params: Params, scheme: Scheme,
                                                     stage_key, gts)
             else:
                 liks, assgns = run_solver(stage_key, gts)
-            out_dev = _pack_solver_out(liks, assgns)
+            # Assignments cross D2H only on the final stage (see
+            # solve_locus; non-final stages rank by likelihood alone).
+            final_stage = out_size is None
+            out_dev = (_pack_solver_out(liks, assgns) if final_stage
+                       else liks)
             if hasattr(out_dev, "copy_to_host_async"):
                 out_dev.copy_to_host_async()
             t_disp += time.monotonic() - t_s0
             pend.append((chunk_rows, gts, out_dev))
-        final_stage = out_size is None
         for chunk_rows, gts, out_dev in pend:
             t_s1 = time.monotonic()
             host = np.asarray(out_dev)
             t_fetch += time.monotonic() - t_s1
-            liks = host[..., 0].view(np.float32).astype(np.float64)
             if final_stage:
+                liks = host[..., 0].view(np.float32).astype(np.float64)
                 assgns = host[..., 1:]
                 if engine == "pallas":
                     assgns = _unpermute_assignments(
                         assgns, gts[:len(chunk_rows)], tensors, params)
+            else:
+                liks = host.astype(np.float64)
             for gi, (li, ix) in enumerate(chunk_rows):
                 it = items[li]
                 row = liks[gi] + it.priors[ix]
