@@ -156,7 +156,9 @@ def main():
         t3 = time.perf_counter()
         calls = [tuple(sorted(res.genotypes[0])) for res, _ in solved]
         quals = [res.quality for res, _ in solved]
-        shapes = [tuple(b.tensors.hap_prob.shape) for b in built]
+        # [H, R, kh] dense-tensor shape per locus (kh=10 model default).
+        shapes = [(len(l.haplotypes), len(rec[l.name][0]), 10)
+                  for l in loci]
         print(f"  pass seed={seed}: recruit={t1 - t0:.2f}s "
               f"align={t2 - t1:.2f}s solve={t3 - t2:.2f}s "
               f"total={t3 - t0:.2f}s", flush=True)

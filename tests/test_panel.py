@@ -135,6 +135,46 @@ def test_panel_batched_equals_per_locus(panel):
         np.testing.assert_array_equal(single.used_mask, b_alns.used_mask)
 
 
+def test_panel_group_pipeline_invariant(panel):
+    """The 3-stage locus-group pipeline (round 5: candidate voting of
+    group i+1 on a worker thread behind group i's device dispatch) must
+    be invariant to group_size — per-locus results never depend on the
+    grouping."""
+    from locityper_tpu.bg.err_prof import EditDistCache, EditThresh
+    from locityper_tpu.model import Params
+    from locityper_tpu.model.locs import build_all_alignments_panel
+
+    rng, loci, data, (r1, r2, names) = panel
+    idx = TargetIndex(RecruitParams(match_frac=0.5))
+    for d in data:
+        idx.add_locus(d.contig_set, d.kmer_counts)
+    idx.finalize()
+    per_locus = {i: ([], []) for i in range(len(loci))}
+    for a, b, name in zip(r1, r2, names):
+        for locus_ix in recruit_read_pair(idx, a, b):
+            per_locus[locus_ix][0].append((a, b))
+            per_locus[locus_ix][1].append(name)
+    bg = make_bg()
+    tech = bg.seq_info.technology
+    params = Params(unmapped_penalty=tech.default_unmapped_penalty())
+    params.set_tweak_size(bg.depth.window_size)
+    if params.band is None:
+        params.band = 48
+    edit_cache = EditDistCache(bg.err_prof, EditThresh.default_for(tech))
+    inputs = [(per_locus[i][0], per_locus[i][1], data[i].contig_set,
+               data[i].kmer_counts) for i in range(len(loci))]
+    a = build_all_alignments_panel(inputs, bg, edit_cache, params,
+                                   group_size=1)
+    b = build_all_alignments_panel(inputs, bg, edit_cache, params,
+                                   group_size=100)
+    for i in range(len(loci)):
+        (aa, sa), (bb, sb) = a[i], b[i]
+        assert sa == sb
+        np.testing.assert_array_equal(aa.table.prob, bb.table.prob)
+        np.testing.assert_array_equal(aa.table.hap, bb.table.hap)
+        np.testing.assert_array_equal(aa.used_mask, bb.used_mask)
+
+
 def test_solve_panel_matches_per_locus(panel):
     """Cross-locus batched solving (solve_panel) must call the same
     genotypes as per-locus genotype_locus, with near-equal likelihoods
