@@ -168,9 +168,12 @@ def _kernel(seed_ref, cool_ref, probs_ref, winpk_ref, vcount_ref, nt_ref,
             diffm = delta - min_diff
             metro = (temp > 0) & (u <= jnp.exp(
                 diffm / jnp.maximum(temp, 1e-30)))
+            # Boolean algebra, not jnp.where: Mosaic cannot legalize
+            # select on i1 vectors (arith.select<i1> — kernel hazard list
+            # in BENCH_NOTES).
             in_anneal = s < anneal_steps
-            acc_phase = jnp.where(in_anneal, (diffm >= 0) | metro,
-                                  delta > min_diff)
+            acc_phase = ((in_anneal & ((diffm >= 0) | metro))
+                         | (~in_anneal & (delta > min_diff)))
             accept = acc_phase & (stale < plato)
             stale = jnp.where(accept, 0, stale + 1)
         else:
