@@ -86,3 +86,44 @@ print(f"per-gt best-lik delta (plato - fixed): min {d.min():.4f} "
 argmax_same = int(np.argmax(liks_by[10000].max(1))) == int(
     np.argmax(liks_by[0].max(1)))
 print(f"argmax genotype identical: {argmax_same}")
+
+# 3) Greedy-stage shape (polish-only from argmax init): the expected
+# plateau-exit win — most lanes stop improving within a couple thousand
+# steps of an 8000-step budget.
+cfg_g = SolverConfig(anneal_steps=0, polish_steps=8000,
+                     depth_contrib=params.depth_contrib,
+                     aln_contrib=params.aln_contrib,
+                     prob_diff=params.prob_diff, tweak=50,
+                     window_size=pack.window_size)
+gts_big = np.repeat(gts, 15, axis=0)[:512]          # stage-1-like chunk
+
+
+def run_g(plato, seed):
+    liks, _ = solve_genotypes_pallas(
+        jax.random.PRNGKey(seed), gts_big, *args, cfg_g, n_attempts=1,
+        max_windows=pack.max_windows, random_init=False, plato=plato)
+    return np.asarray(liks)
+
+
+for plato in (0, 1000):
+    t0 = time.perf_counter()
+    run_g(plato, 0)
+    print(f"greedy compile plato={plato}: {time.perf_counter() - t0:.1f}s",
+          flush=True)
+gwalls = {0: [], 1000: []}
+gliks = {}
+for rnd in range(4):
+    for plato in (0, 1000):
+        t0 = time.perf_counter()
+        lk = run_g(plato, 1)
+        gwalls[plato].append(time.perf_counter() - t0)
+        gliks[plato] = lk
+for plato, ws in gwalls.items():
+    print(f"greedy plato={plato}: walls {['%.3f' % w for w in ws]} "
+          f"median {np.median(ws):.3f}s", flush=True)
+gd = gliks[1000][:, 0] - gliks[0][:, 0]
+print(f"greedy per-gt lik delta: min {gd.min():.4f} "
+      f"median {np.median(gd):.4f} max {gd.max():.4f}")
+order_same = np.array_equal(np.argsort(-gliks[1000][:, 0])[:20],
+                            np.argsort(-gliks[0][:, 0])[:20])
+print(f"top-20 survivor order identical: {order_same}")

@@ -196,16 +196,28 @@ def _kernel(seed_ref, cool_ref, probs_ref, winpk_ref, vcount_ref, nt_ref,
     if plato:
         # Block-level early exit: once EVERY lane in the block is frozen
         # (or the step budget is spent) the remaining steps are no-ops —
-        # stop paying for them.  Grid blocks exit independently.
+        # stop paying for them.  Grid blocks exit independently.  The
+        # exit condition (a cross-lane min + scalar compare) is checked
+        # every CHECK steps, not every step: per-step checking measured
+        # ~8% slower than the fixed fori walk (BENCH_NOTES r5), while
+        # quantized checking is free and costs at most CHECK extra steps.
+        CHECK = 128
+
         def w_cond(carry):
             s, _, _, _, stale = carry
             return jnp.logical_and(s < n_steps, jnp.min(stale) < plato)
 
         def w_body(carry):
             s, assgn, depth, cache, stale = carry
-            assgn, depth, cache, stale = step(s, (assgn, depth, cache,
-                                                  stale))
-            return s + 1, assgn, depth, cache, stale
+
+            def inner(ds, c):
+                a, d, ch, st = c
+                return step(s + ds, (a, d, ch, st))
+
+            assgn, depth, cache, stale = jax.lax.fori_loop(
+                0, jnp.minimum(CHECK, n_steps - s), inner,
+                (assgn, depth, cache, stale))
+            return s + CHECK, assgn, depth, cache, stale
 
         _, assgn, depth, cache, _ = jax.lax.while_loop(
             w_cond, w_body, (jnp.int32(0), assgn, depth, cache, stale0))
@@ -249,7 +261,8 @@ def _permute_k(x, vorder):
 def _prepare_chains(key, genotypes, attempts, hap_prob, hap_mid,
                     unmapped_prob, pack_nwin, pack_regstart, pack_len, gc_at,
                     weight_at, bayes, cfg: SolverConfig, max_windows: int,
-                    random_init: bool, k_eff: int | None = None):
+                    random_init: bool, k_eff: int | None = None,
+                    init_assgn=None):
     """Builds per-chain tensors (XLA, one-time per stage).
 
     Split in two vmaps: the expensive candidate gather/permute depends only
@@ -295,7 +308,7 @@ def _prepare_chains(key, genotypes, attempts, hap_prob, hap_mid,
     gts_rep = rep(genotypes)
     keys_flat = jax.random.split(key, G * attempts)
 
-    def per_attempt(k, gt, probs_p, mids, slots, vcount):
+    def per_attempt(k, gt, probs_p, mids, slots, vcount, init_row=None):
         kw, kr = jax.random.split(k)
         win_gc, win_weight = _window_tables(
             kw, gt, pack_nwin, pack_regstart, pack_len, gc_at, weight_at,
@@ -304,7 +317,12 @@ def _prepare_chains(key, genotypes, attempts, hap_prob, hap_mid,
                              cfg.window_size, cfg.tweak, max_windows)
         winpk = wins[..., 0] | (wins[..., 1] << 16)
         wtab = win_weight[:, None] * bayes[win_gc, :D_TAB]       # [W, D]
-        if random_init:
+        if init_row is not None:
+            # Caller-provided warm start (e.g. the previous stage's best
+            # assignment, permuted slot space); clipped to the valid set.
+            assgn0 = jnp.clip(init_row.astype(jnp.int32), 0,
+                              jnp.maximum(vcount - 1, 0))
+        elif random_init:
             u = jax.random.uniform(jax.random.fold_in(kw, 7),
                                    (vcount.shape[0],))
             assgn0 = jnp.minimum((u * vcount).astype(jnp.int32),
@@ -325,9 +343,15 @@ def _prepare_chains(key, genotypes, attempts, hap_prob, hap_mid,
             wtab, jnp.clip(depth0, 0, D_TAB - 1)[:, None], axis=1)[:, 0]
         return winpk, wtab, assgn0, depth0, cache0
 
-    winpk, wtab, assgn0, depth0, cache0 = jax.vmap(per_attempt)(
-        keys_flat, gts_rep, rep(probs_g), rep(mids_g), rep(slots_g),
-        rep(vcount_g))
+    if init_assgn is not None:
+        init_flat = init_assgn.reshape(G * attempts, -1)
+        winpk, wtab, assgn0, depth0, cache0 = jax.vmap(per_attempt)(
+            keys_flat, gts_rep, rep(probs_g), rep(mids_g), rep(slots_g),
+            rep(vcount_g), init_flat)
+    else:
+        winpk, wtab, assgn0, depth0, cache0 = jax.vmap(per_attempt)(
+            keys_flat, gts_rep, rep(probs_g), rep(mids_g), rep(slots_g),
+            rep(vcount_g))
     return (rep(probs_g), winpk, rep(vcount_g), rep(nt_g), rep(ntc_g),
             wtab, rep(temp_g), assgn0, depth0, cache0)
 
@@ -342,10 +366,16 @@ def solve_genotypes_pallas(key, genotypes, hap_prob, hap_mid, unmapped_prob,
                            n_attempts: int, max_windows: int,
                            n_steps: int | None = None,
                            random_init: bool = True, tb: int = 128,
-                           k_eff: int | None = None, plato: int = 0):
+                           k_eff: int | None = None, plato: int = 0,
+                           init_assgn=None):
     """Pallas counterpart of ops.solver.solve_genotypes.
     Returns (liks [G, A], assignments [G, A, R] in PERMUTED slot space —
     see _prepare_chains; use liks for ranking).
+
+    init_assgn: optional [G, A, R] warm-start assignments in the SAME
+    permuted slot space the kernel returns (stage-to-stage seeding —
+    slot permutations are deterministic per genotype, so a previous
+    stage's output rows feed directly).
 
     tb: chains per grid block (lane-block width).  Grid blocks run
     SEQUENTIALLY on the core, so wider blocks trade per-step vector work
@@ -362,7 +392,7 @@ def solve_genotypes_pallas(key, genotypes, hap_prob, hap_mid, unmapped_prob,
      cache0) = _prepare_chains(
         kp, genotypes, n_attempts, hap_prob, hap_mid, unmapped_prob,
         pack_nwin, pack_regstart, pack_len, gc_at, weight_at, bayes, cfg,
-        max_windows, random_init, k_eff=k_eff)
+        max_windows, random_init, k_eff=k_eff, init_assgn=init_assgn)
     if pad:
         def padc(x):
             return jnp.concatenate(

@@ -61,6 +61,10 @@ class Stage:
     # them exactly, the pallas/batched engines run the polish-walk instead).
     sample: int = 10
     plato: int = 100
+    # init=prev: seed every chain from the previous stage's best
+    # assignment instead of random init (pallas engine; an optimization
+    # beyond the reference — off by default, A/B'd on chip).
+    seed_prev: bool = False
 
     @classmethod
     def parse(cls, s: str) -> "Stage":
@@ -89,6 +93,8 @@ class Stage:
                     st.sample = _parse_size(v)
                 elif k in ("e", "engine"):
                     st.engine = v.strip()
+                elif k == "init":
+                    st.seed_prev = v.strip() in ("prev", "stage1", "1")
                 elif k in ("b", "bsteps"):
                     st.batched_steps = _parse_size(v)
                 else:
@@ -431,6 +437,7 @@ def solve_locus(tensors: LocusTensors, pack: ContigInfoPack, bg_distr,
                          scheme.stages[0].in_size)
 
     predictions: dict[int, Prediction] = {}
+    seed_rows: dict = {}      # ix -> permuted best assignment (init=prev)
     n_stages = len(scheme.stages)
     for s_ix, stage in enumerate(scheme.stages):
         out_size = (scheme.stages[s_ix + 1].in_size
@@ -466,28 +473,33 @@ def solve_locus(tensors: LocusTensors, pack: ContigInfoPack, bg_distr,
                            else 0),
             plato_size=stage.plato,
         )
+        # init=prev seeding: the NEXT stage wants this stage's best
+        # assignments (permuted slot space) as warm starts, so this
+        # stage's packed output must cross D2H even if non-final.
+        next_seed = (out_size is not None
+                     and scheme.stages[s_ix + 1].seed_prev)
         if engine == "pallas":
             from ..ops.solver_pallas import solve_genotypes_pallas
             k_cap = _candidate_k_cap(tensors, int(genotypes.shape[-1]))
             plato_steps = _stage_plato(stage)
 
-            def run_solver(key_, gts_):
+            def run_solver(key_, gts_, init_=None):
                 return solve_genotypes_pallas(
                     key_, gts_, *dev_args, cfg,
                     n_attempts=stage.attempts, max_windows=pack.max_windows,
                     n_steps=cfg.anneal_steps + cfg.polish_steps,
                     random_init=random_init, k_eff=k_cap,
-                    plato=plato_steps)
+                    plato=plato_steps, init_assgn=init_)
         elif engine == "batched":
             from ..ops.solver_batched import solve_genotypes_batched
 
-            def run_solver(key_, gts_):
+            def run_solver(key_, gts_, init_=None):
                 return solve_genotypes_batched(
                     key_, gts_, *dev_args, cfg,
                     n_attempts=stage.attempts, max_windows=pack.max_windows,
                     n_steps=stage.batched_steps, random_init=random_init)
         else:
-            def run_solver(key_, gts_):
+            def run_solver(key_, gts_, init_=None):
                 return solve_genotypes(
                     key_, gts_, *dev_args, cfg,
                     n_attempts=stage.attempts, max_windows=pack.max_windows,
@@ -503,30 +515,46 @@ def solve_locus(tensors: LocusTensors, pack: ContigInfoPack, bg_distr,
             if size - take:
                 gts = np.concatenate(
                     [gts, np.repeat(gts[-1:], size - take, 0)])
+            init_ = None
+            if (stage.seed_prev and engine == "pallas" and mesh is None
+                    and all(int(ix) in seed_rows for ix in chunk)):
+                init_ = np.stack([seed_rows[int(ix)] for ix in chunk])
+                if size - take:
+                    init_ = np.concatenate(
+                        [init_, np.repeat(init_[-1:], size - take, 0)])
+                init_ = np.repeat(init_[:, None, :], stage.attempts, 1)
             stage_key = jax.random.fold_in(key, s_ix * 100003 + st)
             if mesh is not None:
                 from ..parallel.mesh import sharded_stage_solver
                 liks, assgns = sharded_stage_solver(mesh, run_solver,
                                                     stage_key, gts)
             else:
-                liks, assgns = run_solver(stage_key, gts)
+                liks, assgns = run_solver(stage_key, gts, init_)
             # Final stage: one packed D2H for both outputs (each fetch
             # costs a flat relay round-trip — BENCH_NOTES round 2).
             # Non-final stages only rank by likelihood, so the [G, A, R]
             # assignments stay on device (at HLA scale R is thousands —
-            # the packed fetch would move ~40 MB/locus for nothing).
+            # the packed fetch would move ~40 MB/locus for nothing),
+            # unless the next stage seeds from them.
             final_stage = out_size is None
-            out_dev = (_pack_solver_out(liks, assgns) if final_stage
-                       else liks)
+            out_dev = (_pack_solver_out(liks, assgns)
+                       if final_stage or next_seed else liks)
             if hasattr(out_dev, "copy_to_host_async"):
                 out_dev.copy_to_host_async()
             pend.append((chunk, out_dev))
+        seed_rows = {}
         for chunk, out_dev in pend:
             host = np.asarray(out_dev)
-            if final_stage:
+            if final_stage or next_seed:
                 liks = host[..., 0].view(np.float32).astype(np.float64)
                 assgns = host[..., 1:]
-                if engine == "pallas":
+                if next_seed and engine == "pallas":
+                    # Keep the best attempt's PERMUTED row per genotype
+                    # for the next stage's warm start.
+                    best_a = np.argmax(liks[:chunk.size], axis=1)
+                    for gi, ix in enumerate(chunk.tolist()):
+                        seed_rows[int(ix)] = assgns[gi, best_a[gi]]
+                if final_stage and engine == "pallas":
                     # Pallas assignments live in the valid-first permuted
                     # slot space; map back to original candidate slots.
                     assgns = _unpermute_assignments(assgns,
@@ -702,6 +730,7 @@ def _solve_panel_group(items: list, bg_distr, params: Params, scheme: Scheme,
                                   scheme.stages[0].in_size))
 
     preds_per: list[dict] = [{} for _ in items]
+    seed_rows: dict = {}    # (locus, ix) -> permuted best row (init=prev)
     n_stages = len(scheme.stages)
     for s_ix, stage in enumerate(scheme.stages):
         out_size = (scheme.stages[s_ix + 1].in_size
@@ -732,29 +761,31 @@ def _solve_panel_group(items: list, bg_distr, params: Params, scheme: Scheme,
                            else 0),
             plato_size=stage.plato,
         )
+        next_seed = (out_size is not None
+                     and scheme.stages[s_ix + 1].seed_prev)
         if engine == "pallas":
             from ..ops.solver_pallas import solve_genotypes_pallas
             k_cap = _candidate_k_cap(
                 tensors, int(items[0].genotypes.shape[-1]))
             plato_steps = _stage_plato(stage)
 
-            def run_solver(key_, gts_):
+            def run_solver(key_, gts_, init_=None):
                 return solve_genotypes_pallas(
                     key_, gts_, *dev_args, cfg,
                     n_attempts=stage.attempts, max_windows=pack.max_windows,
                     n_steps=cfg.anneal_steps + cfg.polish_steps,
                     random_init=random_init, k_eff=k_cap,
-                    plato=plato_steps)
+                    plato=plato_steps, init_assgn=init_)
         elif engine == "batched":
             from ..ops.solver_batched import solve_genotypes_batched
 
-            def run_solver(key_, gts_):
+            def run_solver(key_, gts_, init_=None):
                 return solve_genotypes_batched(
                     key_, gts_, *dev_args, cfg,
                     n_attempts=stage.attempts, max_windows=pack.max_windows,
                     n_steps=stage.batched_steps, random_init=random_init)
         else:
-            def run_solver(key_, gts_):
+            def run_solver(key_, gts_, init_=None):
                 return solve_genotypes(
                     key_, gts_, *dev_args, cfg,
                     n_attempts=stage.attempts, max_windows=pack.max_windows,
@@ -784,6 +815,14 @@ def _solve_panel_group(items: list, bg_distr, params: Params, scheme: Scheme,
             if size - take:
                 gts = np.concatenate(
                     [gts, np.repeat(gts[-1:], size - take, 0)])
+            init_ = None
+            if (stage.seed_prev and engine == "pallas" and mesh is None
+                    and all(k in seed_rows for k in chunk_rows)):
+                init_ = np.stack([seed_rows[k] for k in chunk_rows])
+                if size - take:
+                    init_ = np.concatenate(
+                        [init_, np.repeat(init_[-1:], size - take, 0)])
+                init_ = np.repeat(init_[:, None, :], stage.attempts, 1)
             stage_key = jax.random.fold_in(key, s_ix * 100003 + st)
             t_s0 = time.monotonic()
             if mesh is not None:
@@ -791,24 +830,30 @@ def _solve_panel_group(items: list, bg_distr, params: Params, scheme: Scheme,
                 liks, assgns = sharded_stage_solver(mesh, run_solver,
                                                     stage_key, gts)
             else:
-                liks, assgns = run_solver(stage_key, gts)
+                liks, assgns = run_solver(stage_key, gts, init_)
             # Assignments cross D2H only on the final stage (see
-            # solve_locus; non-final stages rank by likelihood alone).
+            # solve_locus; non-final stages rank by likelihood alone),
+            # unless the next stage seeds from them (init=prev).
             final_stage = out_size is None
-            out_dev = (_pack_solver_out(liks, assgns) if final_stage
-                       else liks)
+            out_dev = (_pack_solver_out(liks, assgns)
+                       if final_stage or next_seed else liks)
             if hasattr(out_dev, "copy_to_host_async"):
                 out_dev.copy_to_host_async()
             t_disp += time.monotonic() - t_s0
             pend.append((chunk_rows, gts, out_dev))
+        seed_rows = {}
         for chunk_rows, gts, out_dev in pend:
             t_s1 = time.monotonic()
             host = np.asarray(out_dev)
             t_fetch += time.monotonic() - t_s1
-            if final_stage:
+            if final_stage or next_seed:
                 liks = host[..., 0].view(np.float32).astype(np.float64)
                 assgns = host[..., 1:]
-                if engine == "pallas":
+                if next_seed and engine == "pallas":
+                    best_a = np.argmax(liks[:len(chunk_rows)], axis=1)
+                    for gi, k in enumerate(chunk_rows):
+                        seed_rows[k] = assgns[gi, best_a[gi]]
+                if final_stage and engine == "pallas":
                     assgns = _unpermute_assignments(
                         assgns, gts[:len(chunk_rows)], tensors, params)
             else:

@@ -167,6 +167,38 @@ class TestPlateauExit:
         assert float(np.asarray(a)[0, 0]) == float(np.asarray(b)[0, 0])
 
 
+class TestSeededInit:
+    def test_init_assgn_plumbing(self):
+        """init_assgn (warm start, permuted slot space): seeding with the
+        argmax rows must reproduce the random_init=False result exactly
+        at 0 steps — same init state, same final likelihood."""
+        tensors, pack, bayes, params = deep_problem(2)
+        gt = np.array([(0, 1)], np.int32)
+        cfg = SolverConfig(anneal_steps=0, polish_steps=0,
+                           depth_contrib=params.depth_contrib,
+                           aln_contrib=params.aln_contrib,
+                           prob_diff=params.prob_diff,
+                           tweak=0, window_size=pack.window_size)
+        base, assgn = _run_pallas(jax.random.PRNGKey(2), gt, tensors, pack,
+                                  bayes, cfg, n_attempts=2,
+                                  max_windows=pack.max_windows, n_steps=0,
+                                  random_init=False)
+        seeded, _ = _run_pallas(jax.random.PRNGKey(99), gt, tensors, pack,
+                                bayes, cfg, n_attempts=2,
+                                max_windows=pack.max_windows, n_steps=0,
+                                random_init=True,
+                                init_assgn=np.asarray(assgn))
+        np.testing.assert_allclose(np.asarray(seeded), np.asarray(base),
+                                   rtol=0, atol=1e-4)
+
+    def test_scheme_parse_init_prev(self):
+        from locityper_tpu.solvers.solve import Scheme
+        sch = Scheme.parse(["greedy:i=5k,a=1", "anneal:i=20,a=20,init=prev"])
+        assert not sch.stages[0].seed_prev
+        assert sch.stages[1].seed_prev
+        assert not Scheme.default().stages[1].seed_prev
+
+
 def test_stage_plato_mapping():
     """_stage_plato: anneal uses the polish budget; greedy converts
     reference iterations (of `sample` reads) to single-read steps."""
