@@ -348,12 +348,27 @@ def main():
     else:
         # Primary: reference-default solver scheme (VERDICT r4 item 2).
         res = bench_e2e(scheme_kind="default")
+        extra = {}
         try:
             lr = bench_longread()
-            res["extra"] = {"longread_bp_per_sec": lr["value"],
-                            "longread_exact": lr["exact"]}
+            extra["longread_bp_per_sec"] = lr["value"]
+            extra["longread_exact"] = lr["exact"]
         except Exception as exc:   # the primary metric must still print
             print(f"longread bench failed: {exc!r}", file=sys.stderr)
+        try:
+            # HLA-scale panel measured on chip by extra/hla_scale.py
+            # (200-hap loci, full default scheme) — too long to rerun
+            # inside the driver bench; attach the stored result.
+            import os
+            p = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "HLA_SCALE.json")
+            if os.path.exists(p):
+                with open(p) as f:
+                    extra["hla_scale"] = json.load(f)
+        except Exception:
+            pass
+        if extra:
+            res["extra"] = extra
         print(json.dumps(res))
 
 

@@ -183,6 +183,15 @@ def main():
         pairs=len(names), pairs_per_sec=round(len(names) / best, 1),
         exact=f"{n_exact}/{args.n_loci}", peak_rss_mb=round(rss_mb))
     print(json.dumps(summary))
+    # Persist for bench.py to attach to the round's BENCH entry (running
+    # the full HLA panel inside the driver's bench would risk its
+    # timeout; this keeps the at-scale number visible in BENCH_r*.json).
+    import jax
+    if jax.default_backend() != "cpu" and args.scheme == "default" \
+            and args.n_haps >= 100:
+        with open(Path(__file__).resolve().parent.parent
+                  / "HLA_SCALE.json", "w") as f:
+            json.dump(summary, f)
     return 0 if n_exact == args.n_loci else 1
 
 
