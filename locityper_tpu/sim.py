@@ -145,6 +145,12 @@ class ErrorModel:
     deletion: float = 0.0002
 
     def apply(self, rng: np.random.Generator, seq: np.ndarray) -> np.ndarray:
+        """Per-base event: deletion | insertion-before | mismatch | match —
+        mutually exclusive, so realized edit rate = del+ins+mism exactly.
+        (A round-5 fix: the old if-chain let every insertion ALSO mutate
+        the following base, inflating long-read edit distance ~0.8% above
+        what the error profile models and pushing reads past the
+        BetaBinomial passable threshold — err_prof.rs:363-412.)"""
         out = []
         for c in seq:
             r = rng.random()
@@ -152,7 +158,8 @@ class ErrorModel:
                 continue
             if r < self.deletion + self.insertion:
                 out.append(int(rng.integers(0, 4)))
-            if r < self.deletion + self.insertion + self.mismatch:
+                out.append(int(c))
+            elif r < self.deletion + self.insertion + self.mismatch:
                 out.append(int((c + rng.integers(1, 4)) % 4))
             else:
                 out.append(int(c))
