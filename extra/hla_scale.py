@@ -81,7 +81,7 @@ def main():
     ap.add_argument("--depth", type=float, default=15.0)
     ap.add_argument("--scheme", default="default",
                     help="'default' (reference full scheme), 'light' "
-                         "(bench r4 reduced), or comma-joined stage specs")
+                         "(bench r4 reduced), or ';'-joined stage specs")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--repeat", type=int, default=1,
                     help="extra warm timing passes after the compile pass")
@@ -138,7 +138,7 @@ def main():
         scheme = Scheme.parse(["greedy:i=5k,a=1",
                                "anneal:i=8,a=8,n=3000,p=2000"])
     else:
-        scheme = Scheme.parse(args.scheme.split(","))
+        scheme = Scheme.parse(args.scheme.split(";"))
 
     def one_pass(seed):
         t0 = time.perf_counter()
