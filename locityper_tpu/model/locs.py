@@ -442,7 +442,12 @@ def dispatch_align_batches(reads, lens, wins, score_vec, band,
     J = reads.shape[0]
     if batch is None:
         L = max(int(reads.shape[1]), 1)
-        batch = max(512, min(8192, 1 << ((1 << 21) // L).bit_length() - 1))
+        # ~6 M read bases per dispatch.  Each dispatch pays a flat ~35 ms
+        # relay round trip regardless of size (round-5 A/B: 830k
+        # 192-base jobs ran at 215k jobs/s purely dispatch-bound at the
+        # old 8192 cap), so short-read batches go big; H2D stays small
+        # via the 4-bit packed combined upload.
+        batch = max(512, min(32768, 1 << ((6 << 20) // L).bit_length() - 1))
     pending = []
     for s in range(0, J, batch):
         sl = slice(s, min(s + batch, J))
@@ -821,7 +826,7 @@ def build_all_alignments(read_pairs, names, contig_set: ContigSet,
 def build_all_alignments_panel(panel, bg: BgDistr, edit_cache: EditDistCache,
                                params: Params, minimizer_k: int = 15,
                                minimizer_w: int = 10, mesh=None,
-                               group_size: int = 16):
+                               group_size: int | None = None):
     """Multi-locus device batching: candidate alignment jobs run as a
     global device stream (shared [*, L] bucket), amortizing dispatch
     latency across the panel.  Results are identical to per-locus
@@ -841,6 +846,13 @@ def build_all_alignments_panel(panel, bg: BgDistr, edit_cache: EditDistCache,
     Returns list of (AllAlignments, stats) in panel order.
     """
     from concurrent.futures import ThreadPoolExecutor
+
+    if group_size is None:
+        # >= 3 groups whenever the panel allows it, so the pipeline's
+        # overlap actually engages on small panels too (a 5-locus HLA
+        # panel was one group = fully serial host legs), capped at 16 so
+        # large panels still amortize dispatch batches.
+        group_size = max(1, min(16, -(-len(panel) // 3)))
 
     max_read = max((m.size for item in panel for pair in item[0]
                     for m in pair if m is not None), default=64)
