@@ -230,18 +230,17 @@ def _kernel(seed_ref, cool_ref, probs_ref, winpk_ref, vcount_ref, nt_ref,
             0, n_steps, f_body, (assgn, depth, cache, stale0))
 
     # Final likelihood from the end state: depth part = Σ cache (cache holds
-    # the exact current table value per window); aln part looped over reads.
+    # the exact current table value per window); aln part = Σ_r
+    # probs[r, assgn[r]] as K masked column-reduces.  (The old per-read
+    # fori_loop of R sequential [1, TB] selects was ~0.1-0.2 s/call at
+    # R=512 — it, not the annealing steps, dominated HLA stage-1 time;
+    # BENCH_NOTES round 5.)
     dep = jnp.sum(cache, axis=0)[None, :]
-
-    def aln_body(r, acc):
-        slot = jnp.sum(jnp.where(iota_r == r, assgn, 0), axis=0)[None, :]
-        v = jnp.zeros((1, TB), jnp.float32)
-        for k in range(K):
-            pk = probs_ref[pl.ds(k * R + r, 1)]              # [1, TB]
-            v = jnp.where(slot == k, pk, v)
-        return acc + v
-
-    aln = jax.lax.fori_loop(0, R, aln_body, jnp.zeros((1, TB), jnp.float32))
+    aln = jnp.zeros((1, TB), jnp.float32)
+    for k in range(K):
+        aln = aln + jnp.sum(
+            jnp.where(assgn == k, probs_ref[k * R:(k + 1) * R], 0.0),
+            axis=0)[None, :]
     lik_out[:] = dc * dep + ac * aln
     assgn_out[:] = assgn
 
