@@ -398,7 +398,7 @@ def solve_locus(tensors: LocusTensors, pack: ContigInfoPack, bg_distr,
                 genotypes: np.ndarray, priors: np.ndarray, params: Params,
                 scheme: Scheme, key, tag: str = "locus",
                 dist_matrix: np.ndarray | None = None,
-                gt_batch: int = 512, sol_writer=None,
+                gt_batch: int | None = None, sol_writer=None,
                 gt_names=None, mesh=None) -> Genotyping:
     """Full multi-stage solve of one locus on device.
 
@@ -415,6 +415,8 @@ def solve_locus(tensors: LocusTensors, pack: ContigInfoPack, bg_distr,
             name = gt_names[ix] if gt_names else f"{genotypes[ix]}"
             sol_writer.write(f"{stage_ix}\t{name}\t{mathx.to_log10(score):.4f}\n")
 
+    if gt_batch is None:
+        gt_batch = _default_gt_batch()
     mul_coef = 2.0 if bg_distr.insert_distr.is_paired_end else 1.0
     bayes = build_bayes_table(bg_distr.depth.distributions, list(params.alt_cn),
                               mul_coef)
@@ -658,8 +660,20 @@ def _combine_panel(items):
     return tensors, pack, offsets
 
 
+def _default_gt_batch() -> int:
+    """Genotype-chunk size per solver kernel call.  Overridable via
+    LOCITYPER_GT_BATCH for chip A/Bs: at HLA scale stage 1 is bound by
+    per-dispatch overhead (49 calls x ~0.2 s at 512), not kernel steps
+    (BENCH_NOTES round 5)."""
+    import os
+    try:
+        return int(os.environ.get("LOCITYPER_GT_BATCH", "512"))
+    except ValueError:
+        return 512
+
+
 def solve_panel(items: list, bg_distr, params: Params, scheme: Scheme, key,
-                gt_batch: int = 512, mesh=None) -> list:
+                gt_batch: int | None = None, mesh=None) -> list:
     """Multi-stage solve of SEVERAL loci in shared device programs: every
     stage runs the combined genotype list of all loci through one kernel
     call per chunk, amortizing the annealer's sequential-step latency
@@ -677,6 +691,8 @@ def solve_panel(items: list, bg_distr, params: Params, scheme: Scheme, key,
     """
     import jax
 
+    if gt_batch is None:
+        gt_batch = _default_gt_batch()
     sizes = [it.pack.window_size for it in items]
     if len(set(sizes)) > 1:
         logger.info("    Panel spans %d window sizes — solving one combined "
@@ -695,11 +711,13 @@ def solve_panel(items: list, bg_distr, params: Params, scheme: Scheme, key,
 
 
 def _solve_panel_group(items: list, bg_distr, params: Params, scheme: Scheme,
-                       key, gt_batch: int = 512, mesh=None) -> list:
+                       key, gt_batch: int | None = None, mesh=None) -> list:
     """One combined multi-stage program over loci sharing a window size
     (`solve_panel` body; see its docstring)."""
     import jax
 
+    if gt_batch is None:
+        gt_batch = _default_gt_batch()
     n_loci = len(items)
     t_c0 = time.monotonic()
     tensors, pack, offsets = _combine_panel(items)
