@@ -297,11 +297,19 @@ def _prepare_chains(key, genotypes, attempts, hap_prob, hap_mid,
         max_abs = jnp.nan_to_num(jnp.nanmax(spread), nan=1.0) \
             * cfg.aln_contrib + 10.0
         start_temp = jnp.maximum(-max_abs / jnp.log(cfg.init_prob), 1e-5)
-        return probs_p, mids_p, slots_p, vcount, nt_ixs, ntc, start_temp
+        # probs feed emitted directly in kernel layout ([K*R] k-major,
+        # chain axis LAST via vmap out_axes): the old [C, R, K] ->
+        # [K*R, C] transpose of the two K*R-row feeds was ~0.2 s per
+        # 512-lane call at HLA shapes — the dominant stage-1 cost
+        # (step/chunk-count independent; BENCH_NOTES round 5).
+        probs_feed = probs_p.T.reshape(-1)
+        return (probs_feed, probs_p, mids_p, slots_p, vcount, nt_ixs, ntc,
+                start_temp)
 
     G = genotypes.shape[0]
-    (probs_g, mids_g, slots_g, vcount_g, nt_g, ntc_g,
-     temp_g) = jax.vmap(per_gt)(genotypes)
+    (probs_feed_g, probs_g, mids_g, slots_g, vcount_g, nt_g, ntc_g,
+     temp_g) = jax.vmap(per_gt, out_axes=(-1, 0, 0, 0, 0, 0, 0, 0))(
+        genotypes)
 
     rep = lambda x: jnp.repeat(x, attempts, axis=0)  # noqa: E731
     gts_rep = rep(genotypes)
@@ -340,19 +348,25 @@ def _prepare_chains(key, genotypes, attempts, hap_prob, hap_mid,
                   ).astype(jnp.int32)
         cache0 = jnp.take_along_axis(
             wtab, jnp.clip(depth0, 0, D_TAB - 1)[:, None], axis=1)[:, 0]
-        return winpk, wtab, assgn0, depth0, cache0
+        # The two big per-attempt feeds also leave in kernel layout
+        # (chain axis last; see per_gt).
+        return winpk.T.reshape(-1), wtab.reshape(-1), assgn0, depth0, cache0
 
+    out_ax = (-1, -1, 0, 0, 0)
     if init_assgn is not None:
         init_flat = init_assgn.reshape(G * attempts, -1)
-        winpk, wtab, assgn0, depth0, cache0 = jax.vmap(per_attempt)(
+        winpk_feed, wtab_feed, assgn0, depth0, cache0 = jax.vmap(
+            per_attempt, out_axes=out_ax)(
             keys_flat, gts_rep, rep(probs_g), rep(mids_g), rep(slots_g),
             rep(vcount_g), init_flat)
     else:
-        winpk, wtab, assgn0, depth0, cache0 = jax.vmap(per_attempt)(
+        winpk_feed, wtab_feed, assgn0, depth0, cache0 = jax.vmap(
+            per_attempt, out_axes=out_ax)(
             keys_flat, gts_rep, rep(probs_g), rep(mids_g), rep(slots_g),
             rep(vcount_g))
-    return (rep(probs_g), winpk, rep(vcount_g), rep(nt_g), rep(ntc_g),
-            wtab, rep(temp_g), assgn0, depth0, cache0)
+    rep_last = lambda x: jnp.repeat(x, attempts, axis=-1)  # noqa: E731
+    return (rep_last(probs_feed_g), winpk_feed, rep(vcount_g), rep(nt_g),
+            rep(ntc_g), wtab_feed, rep(temp_g), assgn0, depth0, cache0)
 
 
 @functools.partial(
@@ -387,31 +401,35 @@ def solve_genotypes_pallas(key, genotypes, hap_prob, hap_mid, unmapped_prob,
     n_steps = n_steps or (cfg.anneal_steps + cfg.polish_steps)
 
     kp, kk = jax.random.split(key)
-    (probs, winpk, vcount, nt_ixs, ntc, wtab, start_temp, assgn0, depth0,
-     cache0) = _prepare_chains(
+    (probs_t, winpk_t, vcount, nt_ixs, ntc, wtabf_t, start_temp, assgn0,
+     depth0, cache0) = _prepare_chains(
         kp, genotypes, n_attempts, hap_prob, hap_mid, unmapped_prob,
         pack_nwin, pack_regstart, pack_len, gc_at, weight_at, bayes, cfg,
         max_windows, random_init, k_eff=k_eff, init_assgn=init_assgn)
+    # The K*R- and W*D-row feeds arrive in kernel layout (chain axis
+    # LAST — see _prepare_chains); only the small R/W-row state arrays
+    # are transposed here (~1 MB per call).
     if pad:
         def padc(x):
             return jnp.concatenate(
                 [x, jnp.repeat(x[-1:], pad, axis=0)], axis=0)
-        (probs, winpk, vcount, nt_ixs, ntc, wtab, start_temp, assgn0,
-         depth0, cache0) = map(
-            padc, (probs, winpk, vcount, nt_ixs, ntc, wtab, start_temp,
-                   assgn0, depth0, cache0))
-    Cp = C + pad
-    R, K = probs.shape[1], probs.shape[2]
-    W = wtab.shape[1]
-    D_TAB = cfg.d_tab
 
-    # 2D feeds, chain axis on lanes.
-    probs_t = jnp.transpose(probs, (2, 1, 0)).reshape(K * R, Cp)
-    winpk_t = jnp.transpose(winpk, (2, 1, 0)).reshape(K * R, Cp)
+        def padl(x):
+            return jnp.concatenate(
+                [x, jnp.repeat(x[..., -1:], pad, axis=-1)], axis=-1)
+        probs_t, winpk_t, wtabf_t = map(padl, (probs_t, winpk_t, wtabf_t))
+        (vcount, nt_ixs, ntc, start_temp, assgn0, depth0, cache0) = map(
+            padc, (vcount, nt_ixs, ntc, start_temp, assgn0, depth0,
+                   cache0))
+    Cp = C + pad
+    R = vcount.shape[1]
+    K = probs_t.shape[0] // R
+    D_TAB = cfg.d_tab
+    W = wtabf_t.shape[0] // D_TAB
+
     vcount_t = jnp.transpose(vcount, (1, 0))
     nt_t = jnp.transpose(nt_ixs, (1, 0))
     ntc_t = ntc[None, :]
-    wtabf_t = jnp.transpose(wtab, (1, 2, 0)).reshape(W * D_TAB, Cp)
     assgn0_t = jnp.transpose(assgn0, (1, 0))
     depth0_t = jnp.transpose(depth0, (1, 0))
     cache0_t = jnp.transpose(cache0, (1, 0))
