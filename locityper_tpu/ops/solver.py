@@ -144,9 +144,18 @@ def _read_windows(key, gt, mids, slots, pack_nwin, pack_regstart, wsize, tweak,
     R, K, _ = mids.shape
     P = gt.shape[0]
     t = jax.random.randint(key, (R, K, 2), 0, 2 * tweak + 1)
-    hap = gt[jnp.clip(slots, 0, P - 1)]                    # [R, K]
-    n = pack_nwin[hap][..., None]
-    reg = pack_regstart[hap][..., None]
+    # Per-slot scalars selected by ploidy-unrolled masks: the former
+    # [R, K] hap gather (pack_nwin[gt[slots]]) lowered to per-element
+    # XLA gathers — ~0.15 s per 512-chain prepare at HLA shapes, the
+    # single largest stage-1 cost (BENCH_NOTES round 5 bisect).
+    n = jnp.zeros(mids.shape[:2], pack_nwin.dtype)
+    reg = jnp.zeros(mids.shape[:2], pack_regstart.dtype)
+    for s in range(P):
+        sel = slots == s
+        n = jnp.where(sel, pack_nwin[gt[s]], n)
+        reg = jnp.where(sel, pack_regstart[gt[s]], reg)
+    n = n[..., None]
+    reg = reg[..., None]
     wshift = (REG_WINDOW_SHIFT + slots * max_windows)[..., None]
     m = mids + t
     w = (m - reg) // wsize

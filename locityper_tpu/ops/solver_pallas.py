@@ -323,7 +323,12 @@ def _prepare_chains(key, genotypes, attempts, hap_prob, hap_mid,
         wins = _read_windows(kr, gt, mids, slots, pack_nwin, pack_regstart,
                              cfg.window_size, cfg.tweak, max_windows)
         winpk = wins[..., 0] | (wins[..., 1] << 16)
-        wtab = win_weight[:, None] * bayes[win_gc, :D_TAB]       # [W, D]
+        # bayes row lookup as a one-hot matmul (exact: one unit term per
+        # row) — the [W] row gather lowered to slow per-element gathers
+        # on this chip (BENCH_NOTES round 5).
+        onehot = (win_gc[:, None]
+                  == jnp.arange(bayes.shape[0])[None, :]).astype(bayes.dtype)
+        wtab = win_weight[:, None] * (onehot @ bayes[:, :D_TAB])  # [W, D]
         if init_row is not None:
             # Caller-provided warm start (e.g. the previous stage's best
             # assignment, permuted slot space); clipped to the valid set.
