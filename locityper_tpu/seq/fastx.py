@@ -13,6 +13,11 @@ import numpy as np
 from ..utils.io import smart_open
 from . import dna
 
+#: Decompressed bytes fed to the native FASTQ parser per chunk.  Module
+#: constant so tests can shrink it to exercise chunk-boundary framing
+#: (tests/test_native.py::test_chunk_boundary_framing).
+_CHUNK_BYTES = 1 << 22
+
 
 @dataclass
 class Read:
@@ -248,8 +253,8 @@ def fast_paired_batches(path1, path2, batch: int = 4096,
             buf = b""
             with smart_open_bytes(path) as f:
                 while True:
-                    data = f.read(1 << 22)
-                    if not data and not buf:
+                    data = f.read(_CHUNK_BYTES)
+                    if not data and not buf.strip(b"\n"):
                         return
                     buf += data
                     codes, lens, names, consumed, max_seen = \
@@ -259,6 +264,15 @@ def fast_paired_batches(path1, path2, batch: int = 4096,
                     if consumed == 0 and not data:
                         return
                     buf = buf[consumed:]
+                    # Chunk-boundary hazard (found at 100-locus scale,
+                    # round 5): when a record's trailing newline falls
+                    # EXACTLY on the chunk boundary, the parser consumes
+                    # the record (its qual is complete — qual length must
+                    # equal seq length, so nothing can follow) and the
+                    # orphan '\n' arrives at the head of the next chunk,
+                    # where the parser refuses to parse anything
+                    # (consumed=0) and the stream silently truncates.
+                    buf = buf.lstrip(b"\n")
                     if names:
                         yield codes[:len(names)], lens[:len(names)], names
 
