@@ -244,12 +244,12 @@ def fast_paired_batches(path1, path2, batch: int = 4096,
         arrays)."""
 
         def __init__(self, path):
-            # Per-file parse thread: zlib + the native parser release the
-            # GIL, so r1 and r2 decompress/parse concurrently (the parse
-            # leg is the recruit-phase floor at WGS scale — 1.05M pairs
-            # took ~4 s single-threaded, BENCH_NOTES round 5).
-            from ..utils.io import prefetch_iter
-            self._gen = prefetch_iter(self._chunks(path), depth=2)
+            # NOTE: resist adding a per-file parse thread here — measured
+            # ~1.2x on isolated parsing, but on the 4-core VM it
+            # oversubscribes against the recruit pipeline's own prefetch +
+            # dispatch threads and REGRESSED the 100-locus recruit phase
+            # 5.2 -> 7.9 s (BENCH_NOTES round 5).
+            self._gen = self._chunks(path)
             self._parts = []            # [(codes, lens, names, offset)]
             self.eof = False
 
