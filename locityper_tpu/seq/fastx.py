@@ -244,11 +244,13 @@ def fast_paired_batches(path1, path2, batch: int = 4096,
         arrays)."""
 
         def __init__(self, path):
-            # NOTE: resist adding a per-file parse thread here — measured
-            # ~1.2x on isolated parsing, but on the 4-core VM it
-            # oversubscribes against the recruit pipeline's own prefetch +
-            # dispatch threads and REGRESSED the 100-locus recruit phase
-            # 5.2 -> 7.9 s (BENCH_NOTES round 5).
+            # NOTE: a per-file parse thread was tried and removed: only
+            # ~1.2x on isolated parsing (2.1 -> 1.7 s / 1.05M pairs), the
+            # outer recruit prefetch already hides parsing behind device
+            # work, and on the 4-core VM the extra threads contend with
+            # the pipeline's prefetch + dispatch threads (BENCH_NOTES
+            # round 5 — the e2e A/B was confounded by relay drift, so the
+            # simpler single-thread form wins by default).
             self._gen = self._chunks(path)
             self._parts = []            # [(codes, lens, names, offset)]
             self.eof = False
