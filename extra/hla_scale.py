@@ -188,7 +188,7 @@ def main():
     # timeout; this keeps the at-scale number visible in BENCH_r*.json).
     import jax
     if jax.default_backend() != "cpu" and args.scheme == "default" \
-            and args.n_haps >= 100:
+            and args.n_haps >= 100 and args.n_loci >= 5:
         with open(Path(__file__).resolve().parent.parent
                   / "HLA_SCALE.json", "w") as f:
             json.dump(summary, f)
