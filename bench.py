@@ -347,7 +347,9 @@ def main():
         print(json.dumps(bench_longread()))
     else:
         # Primary: reference-default solver scheme (VERDICT r4 item 2).
+        t_primary = time.perf_counter()
         res = bench_e2e(scheme_kind="default")
+        t_primary = time.perf_counter() - t_primary
         extra = {}
         try:
             lr = bench_longread()
@@ -355,6 +357,19 @@ def main():
             extra["longread_exact"] = lr["exact"]
         except Exception as exc:   # the primary metric must still print
             print(f"longread bench failed: {exc!r}", file=sys.stderr)
+        if t_primary < 300:
+            # Secondary: the reduced scheme (r1-r4 primary).  Reported
+            # because round 5 demonstrated call-equivalence on the hard
+            # panels (identical calls light/default/tuned on the 200-hap
+            # HLA panel; 100/100 on the 100-locus panel — BENCH_NOTES).
+            # Skipped when the primary ran cold/congested (compiles would
+            # double the driver's bench wall).
+            try:
+                lt = bench_e2e(scheme_kind="light")
+                extra["light_scheme_pairs_per_sec"] = lt["value"]
+                extra["light_scheme_exact"] = lt["exact"]
+            except Exception as exc:
+                print(f"light bench failed: {exc!r}", file=sys.stderr)
         try:
             # HLA-scale panel measured on chip by extra/hla_scale.py
             # (200-hap loci, full default scheme) — too long to rerun
